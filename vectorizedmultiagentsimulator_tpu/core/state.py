@@ -1,0 +1,73 @@
+"""The world state pytree.
+
+This is the central TPU-first design move: the reference keeps per-entity
+``EntityState`` objects holding separate ``[B, .]`` tensors plus ad-hoc
+python buffers scattered over entities and scenarios
+(``vmas/simulator/core.py:206-410``); here the *entire* simulation state is
+one immutable pytree of stacked arrays with the env batch as the leading
+axis.  ``jit``/``grad``/``lax.scan``/``shard_map`` all operate on it
+directly, and a checkpoint is just this pytree.
+
+Layout (N = entities, A = agents, entities are ordered landmarks-then-agents
+to mirror ``World.entities`` in the reference core.py:1220-1222):
+
+  pos      [B, N, 2]   vel     [B, N, 2]
+  rot      [B, N, 1]   ang_vel [B, N, 1]
+  force    [B, A, 2]   torque  [B, A, 1]   (agent action force/torque)
+  c        [B, A, C]   comm state          (C = dim_c, 0-width allowed)
+  u        tuple of [B, a_i] per-agent physical actions (ragged sizes)
+  action_c [B, A, C]   comm actions
+  extras   dict[str, Array]  scenario/dynamics/controller buffers
+  key      PRNG key    steps  [B] int32
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from vectorizedmultiagentsimulator_tpu.utils import Array
+
+
+@struct.dataclass
+class WorldState:
+    pos: Array
+    vel: Array
+    rot: Array
+    ang_vel: Array
+    force: Array
+    torque: Array
+    c: Array
+    u: Tuple[Array, ...]
+    action_c: Array
+    extras: Dict[str, Any]
+    key: Array
+    steps: Array
+
+    @staticmethod
+    def zeros(
+        batch_dim: int,
+        n_entities: int,
+        n_agents: int,
+        action_sizes,
+        dim_c: int,
+        key: Array,
+        dtype=jnp.float32,
+    ) -> "WorldState":
+        B, N, A = batch_dim, n_entities, n_agents
+        return WorldState(
+            pos=jnp.zeros((B, N, 2), dtype),
+            vel=jnp.zeros((B, N, 2), dtype),
+            rot=jnp.zeros((B, N, 1), dtype),
+            ang_vel=jnp.zeros((B, N, 1), dtype),
+            force=jnp.zeros((B, A, 2), dtype),
+            torque=jnp.zeros((B, A, 1), dtype),
+            c=jnp.zeros((B, A, dim_c), dtype),
+            u=tuple(jnp.zeros((B, a), dtype) for a in action_sizes),
+            action_c=jnp.zeros((B, A, dim_c), dtype),
+            extras={},
+            key=key,
+            steps=jnp.zeros((B,), jnp.int32),
+        )

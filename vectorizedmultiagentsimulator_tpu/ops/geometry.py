@@ -1,0 +1,302 @@
+"""Batched closest-point geometry kernels.
+
+TPU-first re-implementation of the narrowphase geometry in the reference
+(``vmas/simulator/physics.py``).  Every function here is a pure
+``jax.numpy`` map that broadcasts over *arbitrary* leading batch dims, so
+one kernel serves ``[B,2]`` (scenario distance queries), ``[B,P,2]``
+(collision pair tables) and ``[B,E,R,2]`` (ray casts).  Fixed-size
+sub-structure (the 4 sides of a box, the 4 endpoint projections of a
+segment pair) is expressed as an extra stacked axis instead of python
+loops so XLA sees a single fused elementwise program.
+
+Reference parity notes (file:line cite into /root/reference):
+ - closest_point_line      -> physics.py:400-429
+ - line_extrema            -> physics.py:132-141
+ - intersection_line_line  -> physics.py:222-260
+ - closest_points_line_line-> physics.py:144-219
+ - all_lines_box           -> physics.py:298-325
+ - closest_point_box       -> physics.py:263-295
+ - closest_line_box        -> physics.py:328-382
+ - closest_box_box         -> physics.py:26-129
+ - inner_point_box         -> physics.py:13-23
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from vectorizedmultiagentsimulator_tpu.utils import Array, JaxUtils, X, Y
+
+_INF = jnp.inf
+
+
+def _norm(v: Array) -> Array:
+    return jnp.linalg.norm(v, axis=-1)
+
+
+def _min_select(points_a: Array, points_b: Array) -> Tuple[Array, Array]:
+    """Pick, along a leading candidate axis 0, the (a, b) point pair with the
+    smallest pairwise distance.  Sequential ``d < best`` semantics of the
+    reference keep the *first* minimum; ``argmin`` does the same."""
+    d = _norm(points_a - points_b)  # [K, ...]
+    idx = jnp.argmin(d, axis=0)  # [...]
+    pa = jnp.take_along_axis(points_a, idx[None, ..., None], axis=0)[0]
+    pb = jnp.take_along_axis(points_b, idx[None, ..., None], axis=0)[0]
+    return pa, pb
+
+
+def closest_point_line(
+    line_pos: Array,
+    line_rot: Array,
+    line_length,
+    test_point_pos: Array,
+    limit_to_line_length: bool = True,
+) -> Array:
+    """Closest point on a segment (or infinite line) to a test point.
+
+    ``line_rot`` / ``line_length`` have shape ``[...]`` (no trailing 1).
+    """
+    line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
+    direction = jnp.stack([jnp.cos(line_rot), jnp.sin(line_rot)], axis=-1)
+    delta_pos = line_pos - test_point_pos
+    dot_p = jnp.sum(delta_pos * direction, axis=-1)
+    sign = jnp.sign(dot_p)
+    dist_from_center = jnp.abs(dot_p)
+    if limit_to_line_length:
+        dist_from_center = jnp.minimum(dist_from_center, line_length / 2)
+    return line_pos - (sign * dist_from_center)[..., None] * direction
+
+
+def line_extrema(line_pos: Array, line_rot: Array, line_length) -> Tuple[Array, Array]:
+    line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
+    half = line_length / 2
+    xy = jnp.stack([half * jnp.cos(line_rot), half * jnp.sin(line_rot)], axis=-1)
+    return line_pos + xy, line_pos - xy
+
+
+def intersection_line_line(
+    point_a1: Array, point_a2: Array, point_b1: Array, point_b2: Array
+) -> Tuple[Array, Array]:
+    """Segment-segment intersection point; returns (point, distance) where
+    distance is 0 on intersection and +inf otherwise (points +inf too)."""
+    r = point_a2 - point_a1
+    s = point_b2 - point_b1
+    p = point_a1
+    q = point_b1
+    cross_qp_r = JaxUtils.cross(q - p, r)
+    cross_qp_s = JaxUtils.cross(q - p, s)
+    cross_r_s = JaxUtils.cross(r, s)
+    u = cross_qp_r / cross_r_s
+    t = cross_qp_s / cross_r_s
+    in_range = (0 <= t) & (t <= 1) & (0 <= u) & (u <= 1)
+    condition = (cross_r_s != 0) & in_range  # [..., 1]
+    point = jnp.where(condition, p + t * r, _INF)
+    distance = jnp.where(condition[..., 0], 0.0, _INF)
+    return point, distance
+
+
+def closest_points_line_line(
+    line_pos: Array,
+    line_rot: Array,
+    line_length,
+    line2_pos: Array,
+    line2_rot: Array,
+    line2_length,
+) -> Tuple[Array, Array]:
+    """Closest point pair between two segments."""
+    line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
+    line2_length = jnp.asarray(line2_length, dtype=line_pos.dtype)
+    point_a1, point_a2 = line_extrema(line_pos, line_rot, line_length)
+    point_b1, point_b2 = line_extrema(line2_pos, line2_rot, line2_length)
+
+    point_i, d_i = intersection_line_line(point_a1, point_a2, point_b1, point_b2)
+
+    # Project each endpoint of one segment onto the other segment: stack the
+    # four independent sub-problems on a fresh leading axis.
+    proj_pos = jnp.stack([line2_pos, line2_pos, line_pos, line_pos], axis=0)
+    proj_rot = jnp.stack([line2_rot, line2_rot, line_rot, line_rot], axis=0)
+    proj_len = jnp.stack(
+        [
+            jnp.broadcast_to(line2_length, line_rot.shape),
+            jnp.broadcast_to(line2_length, line_rot.shape),
+            jnp.broadcast_to(line_length, line_rot.shape),
+            jnp.broadcast_to(line_length, line_rot.shape),
+        ],
+        axis=0,
+    )
+    proj_pts = jnp.stack([point_a1, point_a2, point_b1, point_b2], axis=0)
+    projected = closest_point_line(proj_pos, proj_rot, proj_len, proj_pts)
+    a1_on_b, a2_on_b, b1_on_a, b2_on_a = (
+        projected[0],
+        projected[1],
+        projected[2],
+        projected[3],
+    )
+
+    candidates_1 = jnp.stack([point_a1, point_a2, b1_on_a, b2_on_a], axis=0)
+    candidates_2 = jnp.stack([a1_on_b, a2_on_b, point_b1, point_b2], axis=0)
+    closest_1, closest_2 = _min_select(candidates_1, candidates_2)
+
+    crossing = (d_i == 0)[..., None]
+    closest_1 = jnp.where(crossing, point_i, closest_1)
+    closest_2 = jnp.where(crossing, point_i, closest_2)
+    return closest_1, closest_2
+
+
+def all_lines_box(
+    box_pos: Array, box_rot: Array, box_width, box_length
+) -> Tuple[Array, Array, Array]:
+    """The 4 sides of a box as segments, stacked on a fresh leading axis.
+
+    Returns (pos [4,...,2], rot [4,...], length [4,...]).
+    Side order matches the reference: +length, -length, +width, -width
+    (first two perpendicular to the box heading).
+    """
+    box_width = jnp.broadcast_to(jnp.asarray(box_width, box_pos.dtype), box_rot.shape)
+    box_length = jnp.broadcast_to(
+        jnp.asarray(box_length, box_pos.dtype), box_rot.shape
+    )
+    heading = jnp.stack([jnp.cos(box_rot), jnp.sin(box_rot)], axis=-1)
+    perp_rot = box_rot + jnp.pi / 2
+    perp = jnp.stack([jnp.cos(perp_rot), jnp.sin(perp_rot)], axis=-1)
+
+    half_l = (box_length / 2)[..., None]
+    half_w = (box_width / 2)[..., None]
+    p1 = box_pos + heading * half_l
+    p2 = box_pos - heading * half_l
+    p3 = box_pos + perp * half_w
+    p4 = box_pos - perp * half_w
+
+    pos = jnp.stack([p1, p2, p3, p4], axis=0)
+    rot = jnp.stack([perp_rot, perp_rot, box_rot, box_rot], axis=0)
+    length = jnp.stack([box_width, box_width, box_length, box_length], axis=0)
+    return pos, rot, length
+
+
+def closest_point_box(
+    box_pos: Array, box_rot: Array, box_width, box_length, test_point_pos: Array
+) -> Array:
+    """Closest point on a box's perimeter to a test point."""
+    lines_pos, lines_rot, lines_length = all_lines_box(
+        box_pos, box_rot, box_width, box_length
+    )
+    pts = closest_point_line(
+        lines_pos, lines_rot, lines_length, test_point_pos[None]
+    )  # [4, ..., 2]
+    d = _norm(test_point_pos[None] - pts)
+    idx = jnp.argmin(d, axis=0)
+    return jnp.take_along_axis(pts, idx[None, ..., None], axis=0)[0]
+
+
+def closest_line_box(
+    box_pos: Array,
+    box_rot: Array,
+    box_width,
+    box_length,
+    line_pos: Array,
+    line_rot: Array,
+    line_length,
+) -> Tuple[Array, Array]:
+    """Closest (box point, line point) pair between a box and a segment."""
+    lines_pos, lines_rot, lines_length = all_lines_box(
+        box_pos, box_rot, box_width, box_length
+    )
+    line_length = jnp.broadcast_to(
+        jnp.asarray(line_length, box_pos.dtype), line_rot.shape
+    )
+    ps_box, ps_line = closest_points_line_line(
+        lines_pos,
+        lines_rot,
+        lines_length,
+        line_pos[None],
+        line_rot[None],
+        line_length[None],
+    )
+    return _min_select(ps_box, ps_line)
+
+
+def closest_box_box(
+    box_pos: Array,
+    box_rot: Array,
+    box_width,
+    box_length,
+    box2_pos: Array,
+    box2_rot: Array,
+    box2_width,
+    box2_length,
+) -> Tuple[Array, Array]:
+    """Closest point pair between two boxes.
+
+    Mirrors the reference decomposition (physics.py:26-129): each box is
+    split into its 4 sides and tested against the *other* box with
+    ``closest_line_box``; the two stacked passes are fused into one call
+    with an 8-way candidate axis, then min-reduced.
+    """
+    box_width = jnp.broadcast_to(jnp.asarray(box_width, box_pos.dtype), box_rot.shape)
+    box_length = jnp.broadcast_to(
+        jnp.asarray(box_length, box_pos.dtype), box_rot.shape
+    )
+    box2_width = jnp.broadcast_to(
+        jnp.asarray(box2_width, box_pos.dtype), box2_rot.shape
+    )
+    box2_length = jnp.broadcast_to(
+        jnp.asarray(box2_length, box_pos.dtype), box2_rot.shape
+    )
+
+    lines_a_pos, lines_a_rot, lines_a_len = all_lines_box(
+        box_pos, box_rot, box_width, box_length
+    )
+    lines_b_pos, lines_b_rot, lines_b_len = all_lines_box(
+        box2_pos, box2_rot, box2_width, box2_length
+    )
+
+    # Pass 1: sides of box1 vs box2; pass 2: sides of box2 vs box1.
+    tgt_pos = jnp.concatenate(
+        [jnp.broadcast_to(box2_pos, lines_a_pos.shape),
+         jnp.broadcast_to(box_pos, lines_b_pos.shape)], axis=0
+    )
+    tgt_rot = jnp.concatenate(
+        [jnp.broadcast_to(box2_rot, lines_a_rot.shape),
+         jnp.broadcast_to(box_rot, lines_b_rot.shape)], axis=0
+    )
+    tgt_w = jnp.concatenate(
+        [jnp.broadcast_to(box2_width, lines_a_rot.shape),
+         jnp.broadcast_to(box_width, lines_b_rot.shape)], axis=0
+    )
+    tgt_l = jnp.concatenate(
+        [jnp.broadcast_to(box2_length, lines_a_rot.shape),
+         jnp.broadcast_to(box_length, lines_b_rot.shape)], axis=0
+    )
+    src_pos = jnp.concatenate([lines_a_pos, lines_b_pos], axis=0)
+    src_rot = jnp.concatenate([lines_a_rot, lines_b_rot], axis=0)
+    src_len = jnp.concatenate([lines_a_len, lines_b_len], axis=0)
+
+    pts_target, pts_line = closest_line_box(
+        tgt_pos, tgt_rot, tgt_w, tgt_l, src_pos, src_rot, src_len
+    )
+    # First 4 candidates: line on box1, target point on box2.
+    # Last 4 candidates: line on box2, target point on box1.
+    pts_on_box1 = jnp.concatenate([pts_line[:4], pts_target[4:]], axis=0)
+    pts_on_box2 = jnp.concatenate([pts_target[:4], pts_line[4:]], axis=0)
+    return _min_select(pts_on_box1, pts_on_box2)
+
+
+def inner_point_box(
+    outside_point: Array, surface_point: Array, box_pos: Array
+) -> Tuple[Array, Array]:
+    """Project the surface contact point toward the box centre along the
+    outside-point->surface ray (anti-tunneling helper, physics.py:13-23).
+
+    Returns (inner point, distance surface->inner)."""
+    v = surface_point - outside_point
+    u = box_pos - surface_point
+    v_norm = _norm(v)[..., None]
+    x_magnitude = jnp.sum(v * u, axis=-1, keepdims=True) / jnp.maximum(
+        v_norm, 1e-12
+    )
+    x = v / jnp.maximum(v_norm, 1e-12) * x_magnitude
+    degenerate = v_norm == 0
+    x = jnp.where(degenerate, surface_point, x)
+    x_magnitude = jnp.where(degenerate, 0.0, x_magnitude)
+    return surface_point + x, jnp.abs(x_magnitude[..., 0])

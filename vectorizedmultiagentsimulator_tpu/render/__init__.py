@@ -1,0 +1,31 @@
+"""Rendering package.
+
+The reference renders through pyglet/OpenGL (``vmas/simulator/rendering.py``);
+that stack is unavailable in TPU pods, so this package provides a
+dependency-free numpy software rasterizer producing ``rgb_array`` frames,
+plus optional matplotlib display for ``human`` mode.  Geometry helpers used
+by entities/sensors/joints live in ``rasterizer.py``.
+"""
+from vectorizedmultiagentsimulator_tpu.render.rasterizer import (
+    Geom,
+    Circle,
+    Polygon,
+    Segment,
+    Viewer,
+    entity_geoms,
+    joint_geoms,
+    lidar_geoms,
+    render_function_util,
+)
+
+__all__ = [
+    "Geom",
+    "Circle",
+    "Polygon",
+    "Segment",
+    "Viewer",
+    "entity_geoms",
+    "joint_geoms",
+    "lidar_geoms",
+    "render_function_util",
+]

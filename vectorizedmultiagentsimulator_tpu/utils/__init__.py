@@ -1,0 +1,257 @@
+"""Constants, math helpers and scenario utilities.
+
+TPU-native re-design of the reference utility layer
+(``vmas/simulator/utils.py:22-35`` constants, ``TorchUtils`` 166-236,
+``ScenarioUtils`` 239-330).  Everything here is pure ``jax.numpy`` and
+shape-polymorphic over arbitrary leading batch dimensions so the same
+helpers serve ``[B,2]``, ``[B,P,2]`` and ``[B,E,R,2]`` call-sites.
+"""
+from __future__ import annotations
+
+from enum import Enum
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+X = 0
+Y = 1
+Z = 2
+ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+VIEWER_DEFAULT_ZOOM = 1.2
+INITIAL_VIEWER_SIZE = (700, 700)
+LINE_MIN_DIST = 4 / 6e2
+COLLISION_FORCE = 100.0
+JOINT_FORCE = 130.0
+TORQUE_CONSTRAINT_FORCE = 1.0
+
+DRAG = 0.25
+LINEAR_FRICTION = 0.0
+ANGULAR_FRICTION = 0.0
+
+Array = jax.Array
+
+AGENT_OBS_TYPE = Union[Array, Dict[str, Array]]
+AGENT_INFO_TYPE = Dict[str, Array]
+AGENT_REWARD_TYPE = Array
+
+OBS_TYPE = Union[List[AGENT_OBS_TYPE], Dict[str, AGENT_OBS_TYPE]]
+INFO_TYPE = Union[List[AGENT_INFO_TYPE], Dict[str, AGENT_INFO_TYPE]]
+REWARD_TYPE = Union[List[AGENT_REWARD_TYPE], Dict[str, AGENT_REWARD_TYPE]]
+DONE_TYPE = Array
+
+
+class Color(Enum):
+    RED = (0.75, 0.25, 0.25)
+    GREEN = (0.25, 0.75, 0.25)
+    BLUE = (0.25, 0.25, 0.75)
+    LIGHT_GREEN = (0.45, 0.95, 0.45)
+    WHITE = (0.75, 0.75, 0.75)
+    GRAY = (0.25, 0.25, 0.25)
+    BLACK = (0.15, 0.15, 0.15)
+    ORANGE = (1.00, 0.50, 0)
+    PINK = (0.97, 0.51, 0.75)
+    PURPLE = (0.60, 0.31, 0.64)
+    YELLOW = (0.87, 0.87, 0)
+
+
+def override(cls):
+    """Decorator documenting method overrides (mirrors utils.py:64)."""
+
+    def check_override(method):
+        if method.__name__ not in dir(cls):
+            raise NameError(f"{method} does not override any method of {cls}")
+        return method
+
+    return check_override
+
+
+class Observable:
+    """Tiny observer registry used by joints to track entity pose writes
+    (reference utils.py:85-103).  Purely trace-time bookkeeping."""
+
+    def __init__(self):
+        self._observers = []
+
+    def subscribe(self, observer):
+        self._observers.append(observer)
+
+    def notify_observers(self, *args, **kwargs):
+        for obs in self._observers:
+            obs.notify(self, *args, **kwargs)
+
+    def unsubscribe(self, observer):
+        self._observers.remove(observer)
+
+
+class JaxUtils:
+    """JAX analogue of the reference ``TorchUtils`` (utils.py:166-236)."""
+
+    @staticmethod
+    def clamp_with_norm(tensor: Array, max_norm) -> Array:
+        norm = jnp.linalg.norm(tensor, axis=-1, keepdims=True)
+        # Safe divisor keeps grads NaN-free through the unselected branch.
+        scaled = tensor / jnp.maximum(norm, 1e-12) * max_norm
+        return jnp.where(norm > max_norm, scaled, tensor)
+
+    @staticmethod
+    def rotate_vector(vector: Array, angle: Array) -> Array:
+        if angle.ndim == vector.ndim:
+            angle = angle.squeeze(-1)
+        cos = jnp.cos(angle)
+        sin = jnp.sin(angle)
+        return jnp.stack(
+            [
+                vector[..., X] * cos - vector[..., Y] * sin,
+                vector[..., X] * sin + vector[..., Y] * cos,
+            ],
+            axis=-1,
+        )
+
+    @staticmethod
+    def cross(a: Array, b: Array) -> Array:
+        return (a[..., X] * b[..., Y] - a[..., Y] * b[..., X])[..., None]
+
+    @staticmethod
+    def compute_torque(f: Array, r: Array) -> Array:
+        return JaxUtils.cross(r, f)
+
+    @staticmethod
+    def to_numpy(data):
+        if isinstance(data, (jax.Array, np.ndarray)):
+            return np.asarray(data)
+        if isinstance(data, Dict):
+            return {k: JaxUtils.to_numpy(v) for k, v in data.items()}
+        if isinstance(data, Sequence):
+            return [JaxUtils.to_numpy(v) for v in data]
+        raise NotImplementedError(f"Invalid type of data {data}")
+
+    @staticmethod
+    def where_from_index(env_index, new_value, old_value: Array) -> Array:
+        """Masked single-env overwrite (reference utils.py:233).
+
+        ``env_index`` may be an int, an int array, or a boolean mask over the
+        leading batch axis; ``None`` overwrites everywhere.
+        """
+        mask = env_index_to_mask(env_index, old_value.shape[0])
+        mask = mask.reshape(mask.shape + (1,) * (old_value.ndim - 1))
+        return jnp.where(mask, new_value, old_value)
+
+
+def env_index_to_mask(env_index, batch_dim: int) -> Array:
+    """Normalize an env index spec (None | int | int array | bool mask) to a
+    boolean mask of shape ``[batch_dim]``."""
+    if env_index is None:
+        return jnp.ones((batch_dim,), dtype=bool)
+    if isinstance(env_index, (int, np.integer)):
+        return jnp.zeros((batch_dim,), dtype=bool).at[env_index].set(True)
+    env_index = jnp.asarray(env_index)
+    if env_index.dtype == bool:
+        return env_index
+    return jnp.zeros((batch_dim,), dtype=bool).at[env_index].set(True)
+
+
+class ScenarioUtils:
+    """Random-spawn helpers (reference utils.py:239-330) rebuilt as masked,
+    statically-bounded resampling compatible with jit tracing."""
+
+    MAX_SPAWN_TRIES = 1000
+
+    @staticmethod
+    def spawn_entities_randomly(
+        entities,
+        world,
+        env_index,
+        min_dist_between_entities: float,
+        x_bounds: Tuple[float, float],
+        y_bounds: Tuple[float, float],
+        occupied_positions: Optional[Array] = None,
+        disable_warn: bool = False,
+    ):
+        """Sequentially place ``entities`` at random non-overlapping positions.
+
+        Mirrors utils.py:241-269 but replaces the unbounded rejection loop with
+        ``MAX_SPAWN_TRIES`` masked resampling rounds (utils.py:313 warns after
+        50k tries; we simply accept the last proposal).
+        """
+        batch_dim = world.batch_dim
+        if occupied_positions is None:
+            occupied_positions = jnp.zeros((batch_dim, 0, world.dim_p))
+
+        for entity in entities:
+            pos = ScenarioUtils.find_random_pos_for_entity(
+                occupied_positions,
+                env_index,
+                world,
+                min_dist_between_entities,
+                x_bounds,
+                y_bounds,
+                disable_warn,
+            )
+            occupied_positions = jnp.concatenate([occupied_positions, pos], axis=1)
+            entity.set_pos(pos.squeeze(1), batch_index=env_index)
+
+    @staticmethod
+    def find_random_pos_for_entity(
+        occupied_positions: Array,
+        env_index,
+        world,
+        min_dist_between_entities: float,
+        x_bounds: Tuple[float, float],
+        y_bounds: Tuple[float, float],
+        disable_warn: bool = False,
+    ) -> Array:
+        batch_dim = occupied_positions.shape[0]
+        lo = jnp.asarray([x_bounds[0], y_bounds[0]], dtype=jnp.float32)
+        hi = jnp.asarray([x_bounds[1], y_bounds[1]], dtype=jnp.float32)
+
+        def propose(key):
+            return jax.random.uniform(
+                key, (batch_dim, 1, 2), minval=lo, maxval=hi
+            )
+
+        key = world.next_key()
+        key, sub = jax.random.split(key)
+        pos = propose(sub)
+        if occupied_positions.shape[1] == 0:
+            return pos
+
+        def overlaps_of(pos):
+            dist = jnp.linalg.norm(occupied_positions - pos, axis=-1)
+            return jnp.any(dist < min_dist_between_entities, axis=1)  # [B]
+
+        def cond(carry):
+            _, pos, tries = carry
+            return jnp.any(overlaps_of(pos)) & (
+                tries < ScenarioUtils.MAX_SPAWN_TRIES
+            )
+
+        def body(carry):
+            key, pos, tries = carry
+            key, sub = jax.random.split(key)
+            proposed = propose(sub)
+            pos = jnp.where(overlaps_of(pos)[:, None, None], proposed, pos)
+            return key, pos, tries + 1
+
+        _, pos, _ = jax.lax.while_loop(cond, body, (key, pos, jnp.int32(0)))
+        return pos
+
+    @staticmethod
+    def check_kwargs_consumed(kwargs: Dict, warn: bool = True):
+        if len(kwargs) > 0:
+            message = (
+                f"Scenario kwargs: {kwargs} passed but not used by the scenario."
+            )
+            if warn:
+                import warnings
+
+                warnings.warn(message)
+            else:
+                raise ValueError(message)
+
+
+def extract_nested_with_index(data, index: int):
+    if isinstance(data, dict):
+        return {k: extract_nested_with_index(v, index) for k, v in data.items()}
+    return data[index]
