@@ -1,0 +1,99 @@
+"""Golden-parity tests: the jitted physics step must reproduce recorded
+reference trajectories (fp32 tolerances) for worlds covering every
+narrowphase pair class, joints, friction/gravity/drag and clamps."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from helpers import build_world
+from physics_configs import BATCH, CONFIGS, N_STEPS
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load(name):
+    path = os.path.join(GOLDEN, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden file {name} missing (run tools/gen_golden.py)")
+    return np.load(path, allow_pickle=True)
+
+
+@pytest.mark.parametrize("cfg_name", sorted(CONFIGS))
+def test_physics_parity(cfg_name):
+    data = _load(f"physics_{cfg_name}.npz")
+    cfg = CONFIGS[cfg_name]
+    world, entities = build_world(cfg, BATCH)
+    world.finalize()
+
+    names = [str(n) for n in data["entity_names"]]
+    my_names = [e.name for e in world.entities]
+    assert my_names == names, f"entity order mismatch: {my_names} vs {names}"
+
+    # Initialize from the recorded t=0 state for non-joint entities, in the
+    # same order the generator applied writes (so joint observers fire
+    # identically and reproduce the joint landmark pose).
+    order = [s["name"] for s in cfg.get("agents", [])] + [
+        s["name"] for s in cfg.get("landmarks", [])
+    ]
+    idx_of = {n: i for i, n in enumerate(names)}
+    for n in order:
+        e = entities[n]
+        i = idx_of[n]
+        e.set_pos(jnp.asarray(data["pos"][0, i]), batch_index=None)
+        e.set_rot(jnp.asarray(data["rot"][0, i]), batch_index=None)
+        e.state.vel = jnp.asarray(data["vel"][0, i])
+        e.state.ang_vel = jnp.asarray(data["ang_vel"][0, i])
+
+    # Verify t=0 (including the observer-posed joint landmark).
+    for i, e in enumerate(world.entities):
+        np.testing.assert_allclose(
+            np.asarray(e.state.pos), data["pos"][0, i], atol=1e-6,
+            err_msg=f"{e.name} initial pos",
+        )
+        np.testing.assert_allclose(
+            np.asarray(e.state.rot), data["rot"][0, i], atol=1e-6,
+            err_msg=f"{e.name} initial rot",
+        )
+
+    agent_names = [s["name"] for s in cfg.get("agents", [])]
+
+    def step_fn(state, force, torque):
+        world.bind(state)
+        for k, n in enumerate(agent_names):
+            entities[n].state.force = force[k]
+            entities[n].state.torque = torque[k]
+        world.step()
+        return world.state
+
+    step_jit = jax.jit(step_fn)
+
+    state = world.state
+    for t in range(N_STEPS):
+        state = step_jit(
+            state, jnp.asarray(data["forces"][t]), jnp.asarray(data["torques"][t])
+        )
+        world.bind(state)
+        # Contact dynamics are chaotic: fp32 reassociation differences grow
+        # multiplicatively with each colliding substep, so the tolerance
+        # ramps with step index (step 0 is checked near-exactly).
+        atol = min(2e-4 * (1.5**t), 0.05)
+        for i, e in enumerate(world.entities):
+            for field, ref in (
+                ("pos", data["pos"]),
+                ("vel", data["vel"]),
+                ("rot", data["rot"]),
+                ("ang_vel", data["ang_vel"]),
+            ):
+                mine = np.asarray(getattr(e.state, field))
+                np.testing.assert_allclose(
+                    mine,
+                    ref[t + 1, i],
+                    atol=atol,
+                    rtol=1e-3,
+                    err_msg=f"{cfg_name}: {e.name}.{field} diverged at step {t}",
+                )

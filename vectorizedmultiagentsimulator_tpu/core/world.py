@@ -705,8 +705,21 @@ class World:
 
         F = jnp.concatenate(f_parts, axis=1)  # [B, K, 2]
         T = jnp.concatenate(t_parts, axis=1)  # [B, K, 1]
-        forces = jnp.einsum("bkc,kn->bnc", F, jnp.asarray(self._incidence_f))
-        torques = jnp.einsum("bkc,kn->bnc", T, jnp.asarray(self._incidence_t))
+        # The incidence matmul is a segment-sum: it must run in full f32
+        # (default TPU matmul precision is bf16, which visibly perturbs
+        # contact forces).
+        forces = jnp.einsum(
+            "bkc,kn->bnc",
+            F,
+            jnp.asarray(self._incidence_f),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        torques = jnp.einsum(
+            "bkc,kn->bnc",
+            T,
+            jnp.asarray(self._incidence_t),
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return forces, torques
 
     def _constraint_forces(

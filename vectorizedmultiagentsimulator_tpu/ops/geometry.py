@@ -105,8 +105,19 @@ def closest_points_line_line(
     line2_length,
 ) -> Tuple[Array, Array]:
     """Closest point pair between two segments."""
-    line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
-    line2_length = jnp.asarray(line2_length, dtype=line_pos.dtype)
+    # Broadcast both segments to a common batch shape so the fixed 4-way
+    # candidate stacking below is well-formed.
+    batch_shape = jnp.broadcast_shapes(line_rot.shape, line2_rot.shape)
+    line_pos = jnp.broadcast_to(line_pos, batch_shape + (2,))
+    line2_pos = jnp.broadcast_to(line2_pos, batch_shape + (2,))
+    line_rot = jnp.broadcast_to(line_rot, batch_shape)
+    line2_rot = jnp.broadcast_to(line2_rot, batch_shape)
+    line_length = jnp.broadcast_to(
+        jnp.asarray(line_length, dtype=line_pos.dtype), batch_shape
+    )
+    line2_length = jnp.broadcast_to(
+        jnp.asarray(line2_length, dtype=line_pos.dtype), batch_shape
+    )
     point_a1, point_a2 = line_extrema(line_pos, line_rot, line_length)
     point_b1, point_b2 = line_extrema(line2_pos, line2_rot, line2_length)
 
@@ -117,13 +128,7 @@ def closest_points_line_line(
     proj_pos = jnp.stack([line2_pos, line2_pos, line_pos, line_pos], axis=0)
     proj_rot = jnp.stack([line2_rot, line2_rot, line_rot, line_rot], axis=0)
     proj_len = jnp.stack(
-        [
-            jnp.broadcast_to(line2_length, line_rot.shape),
-            jnp.broadcast_to(line2_length, line_rot.shape),
-            jnp.broadcast_to(line_length, line_rot.shape),
-            jnp.broadcast_to(line_length, line_rot.shape),
-        ],
-        axis=0,
+        [line2_length, line2_length, line_length, line_length], axis=0
     )
     proj_pts = jnp.stack([point_a1, point_a2, point_b1, point_b2], axis=0)
     projected = closest_point_line(proj_pos, proj_rot, proj_len, proj_pts)

@@ -1,0 +1,58 @@
+"""Multi-chip execution: shard the env batch over a device mesh.
+
+The reference has **no** distributed runtime — its parallelism is
+single-device batching (SURVEY.md §2.9).  The TPU-native scaling story is
+data-parallelism over the ``envs`` axis: every array in the state pytree
+has the env batch leading, environments are fully independent, so sharding
+that axis over a ``jax.sharding.Mesh`` partitions the entire step with
+**zero cross-chip collectives** — XLA GSPMD propagates the sharding from
+the inputs through the whole jitted step.  Collectives would only appear
+for cross-env reductions (e.g. fleet-wide metrics), which ride ICI.
+
+Multi-host: initialize ``jax.distributed`` before building the mesh and the
+same code runs over DCN-connected pods.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ENV_AXIS = "envs"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = ENV_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_state(state, mesh: Mesh, batch_dim: int, axis_name: str = ENV_AXIS):
+    """Place every batch-leading leaf of the state pytree with the env axis
+    sharded across the mesh; everything else (PRNG key) replicated."""
+    batch_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_dim:
+            return jax.device_put(x, batch_sharding)
+        return jax.device_put(x, replicated)
+
+    return jax.tree.map(place, state)
+
+
+def shard_environment(env, mesh: Optional[Mesh] = None, axis_name: str = ENV_AXIS):
+    """Shard a live Environment's state across the mesh.  Subsequent jitted
+    steps/resets follow the data placement (GSPMD)."""
+    if mesh is None:
+        mesh = make_mesh(axis_name=axis_name)
+    n = mesh.devices.size
+    assert env.num_envs % n == 0, (
+        f"num_envs ({env.num_envs}) must be divisible by the number of mesh"
+        f" devices ({n})"
+    )
+    env.state = shard_state(env.state, mesh, env.num_envs, axis_name)
+    return env
