@@ -79,7 +79,9 @@ def cast_rays_to_sphere(
     sr = jnp.broadcast_to(
         jnp.asarray(sphere_radius, sphere_pos.dtype), sphere_pos.shape[:-1]
     )[:, :, None]
-    ang = jnp.broadcast_to(angles[:, None, :], sr.shape)
+    B, E = sphere_pos.shape[:2]
+    R = angles.shape[-1]
+    ang = jnp.broadcast_to(angles[:, None, :], (B, E, R))
 
     ray_dir_world = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
     line_pos = o + ray_dir_world * (max_range / 2)
@@ -117,10 +119,16 @@ def cast_rays_to_line(
     ]
     ang = angles[:, None, :]
 
-    r = jnp.stack([jnp.cos(lr), jnp.sin(lr)], axis=-1) * ll[..., None]
+    B, E = line_pos.shape[:2]
+    R = angles.shape[-1]
+    r = jnp.broadcast_to(
+        jnp.stack([jnp.cos(lr), jnp.sin(lr)], axis=-1) * ll[..., None],
+        (B, E, R, 2),
+    )
     q = o
-    s = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
-    s = jnp.broadcast_to(s, r.shape)
+    s = jnp.broadcast_to(
+        jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1), (B, E, R, 2)
+    )
 
     rxs = JaxUtils.cross(r, s)
     t = JaxUtils.cross(q - lp, s / rxs)

@@ -9,23 +9,37 @@ by entities/sensors/joints live in ``rasterizer.py``.
 from vectorizedmultiagentsimulator_tpu.render.rasterizer import (
     Geom,
     Circle,
+    Grid,
+    Image,
+    Line,
     Polygon,
     Segment,
+    Transform,
     Viewer,
     entity_geoms,
     joint_geoms,
     lidar_geoms,
+    make_circle,
+    make_line,
+    make_polygon,
     render_function_util,
 )
 
 __all__ = [
     "Geom",
     "Circle",
+    "Grid",
+    "Image",
+    "Line",
     "Polygon",
     "Segment",
+    "Transform",
     "Viewer",
     "entity_geoms",
     "joint_geoms",
     "lidar_geoms",
+    "make_circle",
+    "make_line",
+    "make_polygon",
     "render_function_util",
 ]

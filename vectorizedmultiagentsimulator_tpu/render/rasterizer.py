@@ -15,15 +15,55 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+class Transform:
+    """Reference-compatible transform attribute (rendering.py:280-311):
+    geoms accept ``add_attr(Transform())`` and the viewer resolves the
+    translation/rotation/scale chain at draw time."""
+
+    def __init__(self, translation=(0.0, 0.0), rotation: float = 0.0,
+                 scale=(1.0, 1.0)):
+        self.translation = (float(translation[0]), float(translation[1]))
+        self.rotation = float(rotation)
+        self.scale = (float(scale[0]), float(scale[1]))
+
+    def set_translation(self, newx, newy):
+        self.translation = (float(newx), float(newy))
+        return self
+
+    def set_rotation(self, new):
+        self.rotation = float(new)
+        return self
+
+    def set_scale(self, newx, newy):
+        self.scale = (float(newx), float(newy))
+        return self
+
+    def apply(self, pts: np.ndarray) -> np.ndarray:
+        pts = pts * np.asarray(self.scale, dtype=np.float64)
+        pts = _rot(pts, self.rotation)
+        return pts + np.asarray(self.translation, dtype=np.float64)
+
+
 @dataclass
 class Geom:
     color: Tuple[float, float, float] = (0.25, 0.25, 0.25)
     alpha: float = 1.0
+    attrs: list = field(default_factory=list)
 
     def set_color(self, r, g, b, alpha: float = 1.0):
         self.color = (float(r), float(g), float(b))
         self.alpha = float(alpha)
         return self
+
+    def add_attr(self, attr):
+        self.attrs.append(attr)
+        return self
+
+    def _transform_pts(self, pts: np.ndarray) -> np.ndarray:
+        for attr in reversed(self.attrs):
+            if isinstance(attr, Transform):
+                pts = attr.apply(pts)
+        return pts
 
 
 @dataclass
@@ -142,21 +182,31 @@ class Viewer:
 
     def _draw(self, canvas, geom: Geom):
         if isinstance(geom, Circle):
-            center = self._world_to_px(np.asarray(geom.center, dtype=np.float64))
-            r = geom.radius * self._px_per_unit()
+            world = geom._transform_pts(
+                np.asarray(
+                    [geom.center, (geom.center[0] + geom.radius, geom.center[1])],
+                    dtype=np.float64,
+                )
+            )
+            center = self._world_to_px(world[0])
+            r = float(np.linalg.norm(world[1] - world[0])) * self._px_per_unit()
             yy, xx = np.mgrid[0 : self.height, 0 : self.width]
             d2 = (xx - center[0]) ** 2 + (yy - center[1]) ** 2
             mask = d2 <= r * r if geom.filled else np.abs(np.sqrt(d2) - r) <= 1.0
             self._blend(canvas, mask, geom.color, geom.alpha)
         elif isinstance(geom, Polygon):
-            pts = self._world_to_px(np.asarray(geom.points, dtype=np.float64))
+            world = geom._transform_pts(np.asarray(geom.points, dtype=np.float64))
+            pts = self._world_to_px(world)
             if len(pts) < 2:
                 return
             mask = _polygon_mask(pts, self.height, self.width)
             self._blend(canvas, mask, geom.color, geom.alpha)
         elif isinstance(geom, Segment):
-            p0 = self._world_to_px(np.asarray(geom.start, dtype=np.float64))
-            p1 = self._world_to_px(np.asarray(geom.end, dtype=np.float64))
+            world = geom._transform_pts(
+                np.asarray([geom.start, geom.end], dtype=np.float64)
+            )
+            p0 = self._world_to_px(world[0])
+            p1 = self._world_to_px(world[1])
             half_w = max(geom.width * self._px_per_unit() / 2, 0.5)
             mask = _segment_mask(p0, p1, half_w, self.height, self.width)
             self._blend(canvas, mask, geom.color, geom.alpha)
@@ -275,6 +325,45 @@ def joint_geoms(constraint, env_index: int = 0) -> List[Geom]:
     seg = Segment(start=tuple(pa), end=tuple(pb), width=0.004)
     seg.set_color(0.15, 0.15, 0.15)
     return [seg]
+
+
+# ------------------------------------------------------------------ #
+# Reference-compatible geometry factories (rendering.py:524-560).
+# Scenario ``extra_render`` code uses these with Transform attrs.
+# ------------------------------------------------------------------ #
+def make_circle(radius: float = 10, res: int = 30, filled: bool = True,
+                angle: float = 2 * math.pi) -> Geom:
+    del res, angle
+    return Circle(center=(0.0, 0.0), radius=radius, filled=filled)
+
+
+def make_polygon(v, filled: bool = True) -> Polygon:
+    return Polygon(points=[tuple(p) for p in v], filled=filled)
+
+
+def make_line(length: float = 1.0, width: float = 0.01) -> Segment:
+    """A horizontal segment of ``length`` centred at the origin (matches the
+    reference's ``Line.get_geometry()`` convention, core.py:177-203)."""
+    return Segment(start=(-length / 2, 0.0), end=(length / 2, 0.0), width=width)
+
+
+class Line(Segment):
+    """Reference-style two-point line geom (rendering.py:415-430)."""
+
+    def __init__(self, start=(0.0, 0.0), end=(0.0, 0.0), width: float = 0.01):
+        super().__init__(start=tuple(start), end=tuple(end), width=width)
+
+
+class Grid(Geom):
+    """Reference-style background grid (rendering.py:433-452) — rendered as
+    segments at draw time by expanding in the viewer."""
+
+    def __init__(self, spacing: float = 0.1, length: float = 25.0,
+                 width: float = 0.5):
+        super().__init__()
+        self.spacing = spacing
+        self.length = length
+        self.width = width
 
 
 def render_function_util(

@@ -238,6 +238,21 @@ class ScenarioUtils:
         return pos
 
     @staticmethod
+    def uniform_in_bounds(world, lo, hi, shape: Optional[Tuple[int, ...]] = None):
+        """Uniform random positions ``[B, dim_p]`` (or ``[B, *shape]``) in
+        ``[lo, hi]`` drawn from the world's PRNG stream — the jit-safe
+        analogue of the reference's ``torch.zeros(...).uniform_(lo, hi)``
+        spawn idiom used throughout the MPE scenarios."""
+        if shape is None:
+            shape = (world.dim_p,)
+        return jax.random.uniform(
+            world.next_key(),
+            (world.batch_dim,) + tuple(shape),
+            minval=lo,
+            maxval=hi,
+        )
+
+    @staticmethod
     def check_kwargs_consumed(kwargs: Dict, warn: bool = True):
         if len(kwargs) > 0:
             message = (
