@@ -355,6 +355,12 @@ class World:
         }
         self._ordered_constraints = joint_pairs
 
+    def collides(self, a: Entity, b: Entity) -> bool:
+        """Public static collidability query (reference core.py:2788-2803
+        minus the per-step broadphase distance test, which the TPU build
+        replaces with masked dense computation)."""
+        return self._static_collides(a, b)
+
     def _static_collides(self, a: Entity, b: Entity) -> bool:
         """Static part of core.py:2788-2803 (the per-step broadphase distance
         test is replaced by masked dense computation)."""

@@ -238,6 +238,21 @@ class ScenarioUtils:
         return pos
 
     @staticmethod
+    def plot_entity_rotation(entity, env_index: int, length: float = 0.15):
+        """Heading indicator line geom (reference utils.py:332-345)."""
+        from vectorizedmultiagentsimulator_tpu.render import Line, Transform
+
+        color = entity.color
+        line = Line(start=(0.0, 0.0), end=(length, 0.0), width=0.01)
+        xform = Transform(
+            translation=tuple(np.asarray(entity.state.pos)[env_index]),
+            rotation=float(np.asarray(entity.state.rot)[env_index, 0]),
+        )
+        line.add_attr(xform)
+        line.set_color(*color[:3])
+        return line
+
+    @staticmethod
     def uniform_in_bounds(world, lo, hi, shape: Optional[Tuple[int, ...]] = None):
         """Uniform random positions ``[B, dim_p]`` (or ``[B, *shape]``) in
         ``[lo, hi]`` drawn from the world's PRNG stream — the jit-safe
