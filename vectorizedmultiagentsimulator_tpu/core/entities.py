@@ -361,10 +361,25 @@ class Entity(Observable):
 
     @property
     def gravity(self):
+        world = self.__dict__.get("_world")
+        if world is not None and world.is_finalized:
+            key = self._extras_key("dyn_gravity")
+            if world.has_extra(key):
+                return world.get_extra(key)
         return self._gravity
 
     @gravity.setter
     def gravity(self, value):
+        world = self.__dict__.get("_world")
+        if (
+            world is not None
+            and world.is_finalized
+            and _is_batched_array(value, world.batch_dim)
+        ):
+            # Runtime per-env gravity override (wind fields) — lives in the
+            # state pytree so it persists under jit (see World.finalize).
+            world.set_extra(self._extras_key("dyn_gravity"), jnp.asarray(value))
+            return
         self._gravity = (
             np.asarray(value, dtype=np.float32) if value is not None else None
         )

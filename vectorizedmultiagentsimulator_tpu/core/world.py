@@ -237,12 +237,22 @@ class World:
             ],
             dtype=np.float32,
         )
-        self._gravity_vec = np.stack(
-            [
-                self._gravity + (e.gravity if e.gravity is not None else 0.0)
-                for e in ents
-            ]
-        ).astype(np.float32)
+        # Per-entity gravity: scalar/2-vector overrides are baked into the
+        # static table; batched ``[B, 2]`` overrides (e.g. wind fields that
+        # scenarios modulate per step, wind_flocking.py:142-149,318-335)
+        # live in ``extras["<name>.dyn_gravity"]`` and are added in step().
+        grav_rows = []
+        self._dyn_gravity_names: List[str] = []
+        for e in ents:
+            g = e._gravity
+            if g is not None and np.ndim(g) == 2:
+                self._dyn_gravity_names.append(e.name)
+                grav_rows.append(self._gravity + 0.0)
+            else:
+                grav_rows.append(
+                    self._gravity + (g if g is not None else 0.0)
+                )
+        self._gravity_vec = np.stack(grav_rows).astype(np.float32)
         self._max_speed = np.array(
             [e.max_speed if e.max_speed is not None else inf for e in ents],
             dtype=np.float32,
@@ -307,6 +317,15 @@ class World:
             key,
         )
         self._finalized = True
+        for name in self._dyn_gravity_names:
+            e = next(ent for ent in ents if ent.name == name)
+            self.set_extra(
+                f"{name}.dyn_gravity",
+                jnp.broadcast_to(
+                    jnp.asarray(e._gravity, jnp.float32),
+                    (self._batch_dim, 2),
+                ),
+            )
 
     def _build_pair_tables(self):
         """Static narrowphase pair classification (core.py:2104-2174 done once
@@ -597,6 +616,19 @@ class World:
             * mass[None, :, None]
             * movable[None, :, None]
         )
+        # Batched per-env gravity overrides (see finalize).
+        if any(
+            f"{e.name}.dyn_gravity" in s.extras for e in self.entities
+        ):
+            gravity_force = jnp.broadcast_to(gravity_force, (B, N, 2))
+            for i, e in enumerate(self.entities):
+                dkey = f"{e.name}.dyn_gravity"
+                if dkey in s.extras:
+                    gravity_force = gravity_force.at[:, i].add(
+                        s.extras[dkey]
+                        * self._mass[i]
+                        * float(self._movable[i])
+                    )
 
         has_lin_friction = bool(np.any(self._lin_friction > 0))
         has_ang_friction = bool(np.any(self._ang_friction > 0))
