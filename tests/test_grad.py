@@ -39,7 +39,11 @@ def test_grad_through_rollout(scenario, num_envs=2, n_steps=3):
             state, (obs, rews, dones, infos) = env.step_fn(
                 state, tuple(actions)
             )
-            total = total + sum(jnp.sum(r) for r in rews)
+            # Reference loss: obs.mean() + rews.mean()
+            # (tests/test_vmas.py:304)
+            total = total + sum(jnp.mean(o) for o in obs) + sum(
+                jnp.mean(r) for r in rews
+            )
         return total
 
     first_action = jnp.full(

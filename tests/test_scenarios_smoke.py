@@ -25,13 +25,12 @@ _KWARGS = {
     "discovery": dict(n_agents=3, n_targets=3),
     "navigation": dict(n_agents=3),
     "flocking": dict(n_agents=3, n_obstacles=2),
+    "road_traffic": dict(n_agents=4),
 }
-
-_NOT_IMPLEMENTED = {"road_traffic"}
 
 
 def scenario_names():
-    return [n for n in scenarios_module.names() if n not in _NOT_IMPLEMENTED]
+    return scenarios_module.names()
 
 
 def test_registry_complete():
