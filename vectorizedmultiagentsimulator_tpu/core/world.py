@@ -580,21 +580,31 @@ class World:
         force_a = s.force
         torque_a = s.torque
         if A:
-            force_clamped = JaxUtils.clamp_with_norm(
-                force_a, jnp.asarray(self._max_f)[None, :, None]
-            )
-            fr = jnp.asarray(self._f_range)[None, :, None]
-            force_clamped = jnp.clip(force_clamped, -fr, fr)
-            am = jnp.asarray(self._agent_movable)[None, :, None]
-            force_a = jnp.where(am, force_clamped, force_a)
+            # Clamps that are all-inf are static no-ops: skipping them saves
+            # work and avoids inf-valued unselected branches.
+            force_clamped = force_a
+            if np.isfinite(self._max_f).any():
+                force_clamped = JaxUtils.clamp_with_norm(
+                    force_clamped, jnp.asarray(self._max_f)[None, :, None]
+                )
+            if np.isfinite(self._f_range).any():
+                fr = jnp.asarray(self._f_range)[None, :, None]
+                force_clamped = jnp.clip(force_clamped, -fr, fr)
+            if force_clamped is not force_a:
+                am = jnp.asarray(self._agent_movable)[None, :, None]
+                force_a = jnp.where(am, force_clamped, force_a)
 
-            torque_clamped = JaxUtils.clamp_with_norm(
-                torque_a, jnp.asarray(self._max_t)[None, :, None]
-            )
-            tr = jnp.asarray(self._t_range)[None, :, None]
-            torque_clamped = jnp.clip(torque_clamped, -tr, tr)
-            ar = jnp.asarray(self._agent_rotatable)[None, :, None]
-            torque_a = jnp.where(ar, torque_clamped, torque_a)
+            torque_clamped = torque_a
+            if np.isfinite(self._max_t).any():
+                torque_clamped = JaxUtils.clamp_with_norm(
+                    torque_clamped, jnp.asarray(self._max_t)[None, :, None]
+                )
+            if np.isfinite(self._t_range).any():
+                tr = jnp.asarray(self._t_range)[None, :, None]
+                torque_clamped = jnp.clip(torque_clamped, -tr, tr)
+            if torque_clamped is not torque_a:
+                ar = jnp.asarray(self._agent_rotatable)[None, :, None]
+                torque_a = jnp.where(ar, torque_clamped, torque_a)
 
         # Static per-entity action force layout: landmarks get zeros.
         zeros_land_f = jnp.zeros((B, nl, 2), pos.dtype)
@@ -660,11 +670,13 @@ class World:
                 )
             accel = forces / mass[None, :, None]
             new_vel = vel + accel * self._sub_dt
-            new_vel = JaxUtils.clamp_with_norm(
-                new_vel, jnp.asarray(self._max_speed)[None, :, None]
-            )
-            vr = jnp.asarray(self._v_range)[None, :, None]
-            new_vel = jnp.clip(new_vel, -vr, vr)
+            if np.isfinite(self._max_speed).any():
+                new_vel = JaxUtils.clamp_with_norm(
+                    new_vel, jnp.asarray(self._max_speed)[None, :, None]
+                )
+            if np.isfinite(self._v_range).any():
+                vr = jnp.asarray(self._v_range)[None, :, None]
+                new_vel = jnp.clip(new_vel, -vr, vr)
             vel = jnp.where(movable[None, :, None], new_vel, vel)
             new_pos = pos + vel * self._sub_dt
             if self._x_semidim is not None or self._y_semidim is not None:
@@ -694,7 +706,7 @@ class World:
     def _friction_force(self, vel: Array, coeff: Array, mass_like: Array) -> Array:
         """Static/kinetic friction (core.py:2054-2073).  ``vel`` is
         [B,N,d]; ``coeff``/``mass_like`` are [N]."""
-        speed = jnp.linalg.norm(vel, axis=-1)  # [B, N]
+        speed = JaxUtils.safe_norm(vel, axis=-1)  # [B, N]
         static = speed == 0
         friction_const = (coeff * mass_like)[None, :, None]
         direction = vel / jnp.where(static, 1e-8, speed)[..., None]
@@ -771,7 +783,7 @@ class World:
         """Soft (differentiable) contact force (core.py:2805-2839)."""
         min_dist = 1e-6
         delta_pos = pos_a - pos_b
-        dist = jnp.linalg.norm(delta_pos, axis=-1)
+        dist = JaxUtils.safe_norm(delta_pos, axis=-1)
         sign = -1 if attractive else 1
         k = self._contact_margin
         penetration = (
@@ -797,7 +809,7 @@ class World:
         """Soft fixed-rotation constraint torque (core.py:2841-2858)."""
         min_delta_rot = 1e-9
         delta_rot = rot_a - rot_b
-        abs_delta_rot = jnp.linalg.norm(delta_rot, axis=-1, keepdims=True)
+        abs_delta_rot = JaxUtils.safe_norm(delta_rot, axis=-1, keepdims=True)
         penetration = jnp.exp(abs_delta_rot) - 1
         torque = force_multiplier * jnp.sign(delta_rot) * penetration
         torque = jnp.where(abs_delta_rot < min_delta_rot, 0.0, torque)
@@ -1012,6 +1024,36 @@ class World:
                 raise RuntimeError(
                     f"Shape {e.shape} currently not handled by cast_ray"
                 )
+        from vectorizedmultiagentsimulator_tpu.ops import raycast_pallas as rcp
+
+        if rcp.pallas_lidar_enabled():
+            B = pos.shape[0]
+
+            def flat_pos(idx, width):
+                if idx:
+                    return s.pos[:, np.asarray(idx)].reshape(B, -1)
+                return jnp.zeros((B, width), pos.dtype)
+
+            def flat_rot(idx, width):
+                if idx:
+                    return s.rot[:, np.asarray(idx), 0]
+                return jnp.zeros((B, width), pos.dtype)
+
+            return rcp.fused_cast_rays(
+                pos,
+                angles,
+                flat_pos(spheres, 2),
+                flat_pos(boxes, 2),
+                flat_rot(boxes, 1),
+                flat_pos(lines, 2),
+                flat_rot(lines, 1),
+                tuple(float(r) for r in self._radius[np.asarray(spheres, int)]),
+                tuple(float(l) for l in self._length[np.asarray(boxes, int)]),
+                tuple(float(w) for w in self._width[np.asarray(boxes, int)]),
+                tuple(float(l) for l in self._length[np.asarray(lines, int)]),
+                float(max_range),
+            )
+
         dists = [jnp.full_like(angles, max_range)[..., None]]  # [B, R, 1]
         if boxes:
             idx = np.asarray(boxes)

@@ -32,7 +32,7 @@ _INF = jnp.inf
 
 
 def _norm(v: Array) -> Array:
-    return jnp.linalg.norm(v, axis=-1)
+    return JaxUtils.safe_norm(v, axis=-1)
 
 
 def _min_select(points_a: Array, points_b: Array) -> Tuple[Array, Array]:

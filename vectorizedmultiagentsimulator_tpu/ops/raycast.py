@@ -61,7 +61,7 @@ def cast_rays_to_box(
     intersect_world = JaxUtils.rotate_vector(intersect_aabb, br) + bp
 
     collision = (tmax >= tmin) & (tmin > 0.0)
-    dist = jnp.linalg.norm(o - intersect_world, axis=-1)
+    dist = JaxUtils.safe_norm(o - intersect_world, axis=-1)
     return jnp.where(collision, dist, max_range)
 
 
@@ -90,7 +90,7 @@ def cast_rays_to_sphere(
     )
 
     d = sp - closest
-    d_norm = jnp.linalg.norm(d, axis=-1)
+    d_norm = JaxUtils.safe_norm(d, axis=-1)
     ray_intersects = d_norm < sr
     a = sr**2 - d_norm**2
     m = jnp.sqrt(jnp.where(a > 0, a, 1e-8))
@@ -98,7 +98,7 @@ def cast_rays_to_sphere(
     u = sp - o
     u1 = closest - o
     sphere_in_front = jnp.sum(u * ray_dir_world, axis=-1) > 0.0
-    dist = jnp.linalg.norm(u1, axis=-1) - m
+    dist = JaxUtils.safe_norm(u1, axis=-1) - m
     return jnp.where(ray_intersects & sphere_in_front, dist, max_range)
 
 
@@ -133,7 +133,7 @@ def cast_rays_to_line(
     rxs = JaxUtils.cross(r, s)
     t = JaxUtils.cross(q - lp, s / rxs)
     u = JaxUtils.cross(q - lp, r / rxs)
-    d = jnp.linalg.norm(u * s, axis=-1)
+    d = JaxUtils.safe_norm(u * s, axis=-1)
 
     miss = (
         (rxs[..., 0] == 0.0)

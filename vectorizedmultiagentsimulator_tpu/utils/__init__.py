@@ -89,10 +89,26 @@ class JaxUtils:
     """JAX analogue of the reference ``TorchUtils`` (utils.py:166-236)."""
 
     @staticmethod
+    def safe_norm(v: Array, axis=-1, keepdims: bool = False) -> Array:
+        """L2 norm whose gradient at exactly-zero vectors is 0 (matching
+        torch's subgradient convention) instead of NaN — jnp.linalg.norm
+        has a NaN vjp at 0 which poisons backward passes even through
+        unselected ``where`` branches (0 * NaN = NaN)."""
+        sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+        safe = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        return jnp.where(sq > 0, safe, 0.0)
+
+    @staticmethod
     def clamp_with_norm(tensor: Array, max_norm) -> Array:
-        norm = jnp.linalg.norm(tensor, axis=-1, keepdims=True)
-        # Safe divisor keeps grads NaN-free through the unselected branch.
-        scaled = tensor / jnp.maximum(norm, 1e-12) * max_norm
+        norm = JaxUtils.safe_norm(tensor, axis=-1, keepdims=True)
+        # Guards keep grads NaN-free through the unselected branch: a safe
+        # divisor avoids 0-division, and an inf max_norm (meaning "no
+        # clamp") is replaced by 0 in the never-selected scaled branch —
+        # otherwise its inf forward value turns the zero cotangent into
+        # 0 * inf = NaN in the vjp.
+        max_norm = jnp.asarray(max_norm, tensor.dtype)
+        finite_max = jnp.where(jnp.isfinite(max_norm), max_norm, 0.0)
+        scaled = tensor / jnp.maximum(norm, 1e-12) * finite_max
         return jnp.where(norm > max_norm, scaled, tensor)
 
     @staticmethod
