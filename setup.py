@@ -7,6 +7,13 @@ setup(
         "TPU-native vectorized differentiable multi-agent simulator (JAX)"
     ),
     packages=find_packages(include=["vectorizedmultiagentsimulator_tpu*"]),
+    include_package_data=True,
+    package_data={
+        "vectorizedmultiagentsimulator_tpu": [
+            "scenarios_data/road_traffic/*.xml",
+            "scenarios_data/road_traffic/*.md",
+        ]
+    },
     python_requires=">=3.10",
     install_requires=["jax", "flax", "numpy"],
     extras_require={

@@ -699,6 +699,8 @@ class Environment:
 
         if self.scenario.visualize_semidims:
             self._plot_boundary()
+        if self.scenario.plot_grid:
+            self._plot_grid()
         if plot_position_function is not None:
             prange = plot_position_function_range
             if prange is None:
@@ -725,6 +727,26 @@ class Environment:
         for entity in self.world.entities:
             self.viewer.add_onetime_list(entity.render(env_index=env_index))
         return self.viewer.render(return_rgb_array=mode == "rgb_array")
+
+    def _plot_grid(self):
+        """Background grid (reference rendering.py Grid, environment.py
+        plot_grid path)."""
+        from vectorizedmultiagentsimulator_tpu.render import Segment
+
+        xmin, xmax, ymin, ymax = self.viewer.bounds or (-1.2, 1.2, -1.2, 1.2)
+        spacing = float(self.scenario.grid_spacing) or 0.1
+        x = math.floor(xmin / spacing) * spacing
+        while x <= xmax:
+            seg = Segment(start=(x, ymin), end=(x, ymax), width=0.002)
+            seg.set_color(0.8, 0.8, 0.8)
+            self.viewer.add_onetime(seg)
+            x += spacing
+        y = math.floor(ymin / spacing) * spacing
+        while y <= ymax:
+            seg = Segment(start=(xmin, y), end=(xmax, y), width=0.002)
+            seg.set_color(0.8, 0.8, 0.8)
+            self.viewer.add_onetime(seg)
+            y += spacing
 
     def _plot_boundary(self):
         from vectorizedmultiagentsimulator_tpu.render import Segment

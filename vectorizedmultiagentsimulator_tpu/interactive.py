@@ -159,8 +159,9 @@ class InteractiveEnv:
 
 
 def save_video(name: str, frames, fps: int = 30):
-    """Save frames as an .npz stack (no video codecs in the image)."""
-    np.savez_compressed(f"{name}.npz", frames=np.stack(frames))
+    from vectorizedmultiagentsimulator_tpu.utils import save_video as _sv
+
+    _sv(name, frames, fps=int(fps))
 
 
 def render_interactively(

@@ -297,6 +297,27 @@ class ScenarioUtils:
                 raise ValueError(message)
 
 
+def save_video(name: str, frame_list, fps: int):
+    """Save a list of rgb frames (reference utils.py:106).  No video codecs
+    ship in the TPU image, so frames are stored as a compressed ``.npz``
+    stack (plus a ``.gif`` when PIL is available)."""
+    frames = np.stack([np.asarray(f) for f in frame_list])
+    np.savez_compressed(f"{name}.npz", frames=frames, fps=fps)
+    try:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(
+            f"{name}.gif",
+            save_all=True,
+            append_images=imgs[1:],
+            duration=int(1000 / max(fps, 1)),
+            loop=0,
+        )
+    except Exception:
+        pass
+
+
 def extract_nested_with_index(data, index: int):
     if isinstance(data, dict):
         return {k: extract_nested_with_index(v, index) for k, v in data.items()}
