@@ -565,15 +565,7 @@ class World:
     # ------------------------------------------------------------------ #
     def step(self):
         s = self._state
-        pos, vel, rot, ang_vel = s.pos, s.vel, s.rot, s.ang_vel
-        B, N = pos.shape[0], pos.shape[1]
-        nl = self._n_landmarks
         A = len(self._agents)
-
-        movable = jnp.asarray(self._movable)
-        rotatable = jnp.asarray(self._rotatable)
-        mass = jnp.asarray(self._mass)
-        moment = jnp.asarray(self._moment)
 
         # Clamp agent action force/torque once (idempotent; the reference
         # re-clamps each substep, core.py:2018-2041) and write back.
@@ -606,6 +598,46 @@ class World:
                 ar = jnp.asarray(self._agent_rotatable)[None, :, None]
                 torque_a = jnp.where(ar, torque_clamped, torque_a)
 
+        if self._pallas_step_ok():
+            from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
+
+            pos, vel, rot, ang_vel = physics_pallas.fused_step(
+                self, s.pos, s.vel, s.rot, s.ang_vel, force_a, torque_a
+            )
+        else:
+            pos, vel, rot, ang_vel = self._step_core(
+                s.pos, s.vel, s.rot, s.ang_vel, force_a, torque_a, s.extras
+            )
+
+        updates = dict(pos=pos, vel=vel, rot=rot, ang_vel=ang_vel,
+                       force=force_a, torque=torque_a)
+        # Comm state update (core.py:2910-2913)
+        if self._dim_c > 0 and A:
+            silent = jnp.asarray(self._silent)[None, :, None]
+            updates["c"] = jnp.where(silent, s.c, s.action_c)
+        self._state = s.replace(**updates)
+
+    def _pallas_step_ok(self) -> bool:
+        """The fused Pallas substep kernel supports the common scenario
+        subset: sphere-sphere and (solid) box-sphere contacts, no joints,
+        no friction, no dynamic gravity.  Everything else falls back to the
+        jnp path (identical semantics; see ops/physics_pallas.py)."""
+        from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
+
+        return physics_pallas.step_supported(self)
+
+    def _step_core(self, pos, vel, rot, ang_vel, force_a, torque_a, extras):
+        """Pure physics core: action/gravity/friction forces, pair
+        narrowphase, and substepped semi-implicit Euler integration
+        (core.py:1972-2010, 2860-2908)."""
+        B, N = pos.shape[0], pos.shape[1]
+        nl = self._n_landmarks
+        A = len(self._agents)
+        movable = jnp.asarray(self._movable)
+        rotatable = jnp.asarray(self._rotatable)
+        mass = jnp.asarray(self._mass)
+        moment = jnp.asarray(self._moment)
+
         # Static per-entity action force layout: landmarks get zeros.
         zeros_land_f = jnp.zeros((B, nl, 2), pos.dtype)
         zeros_land_t = jnp.zeros((B, nl, 1), pos.dtype)
@@ -621,21 +653,24 @@ class World:
             axis=1,
         ) if A else jnp.zeros((B, N, 1), pos.dtype)
 
-        gravity_force = (
-            jnp.asarray(self._gravity_vec)[None]
-            * mass[None, :, None]
-            * movable[None, :, None]
-        )
+        if np.any(self._gravity_vec != 0):
+            gravity_force = (
+                jnp.asarray(self._gravity_vec)[None]
+                * mass[None, :, None]
+                * movable[None, :, None]
+            )
+        else:
+            gravity_force = jnp.zeros((1, N, 2), pos.dtype)
         # Batched per-env gravity overrides (see finalize).
         if any(
-            f"{e.name}.dyn_gravity" in s.extras for e in self.entities
+            f"{e.name}.dyn_gravity" in extras for e in self.entities
         ):
             gravity_force = jnp.broadcast_to(gravity_force, (B, N, 2))
             for i, e in enumerate(self.entities):
                 dkey = f"{e.name}.dyn_gravity"
-                if dkey in s.extras:
+                if dkey in extras:
                     gravity_force = gravity_force.at[:, i].add(
-                        s.extras[dkey]
+                        extras[dkey]
                         * self._mass[i]
                         * float(self._movable[i])
                     )
@@ -643,8 +678,15 @@ class World:
         has_lin_friction = bool(np.any(self._lin_friction > 0))
         has_ang_friction = bool(np.any(self._ang_friction > 0))
 
+        has_gravity = bool(np.any(self._gravity_vec != 0)) or bool(
+            self._dyn_gravity_names
+        )
         for substep in range(self._substeps):
-            forces = action_force + gravity_force
+            forces = (
+                action_force + gravity_force
+                if has_gravity
+                else action_force
+            )
             torques = action_torque
 
             if has_lin_friction:
@@ -695,13 +737,7 @@ class World:
                 rotatable[None, :, None], rot + ang_vel * self._sub_dt, rot
             )
 
-        updates = dict(pos=pos, vel=vel, rot=rot, ang_vel=ang_vel, force=force_a,
-                       torque=torque_a)
-        # Comm state update (core.py:2910-2913)
-        if self._dim_c > 0 and A:
-            silent = jnp.asarray(self._silent)[None, :, None]
-            updates["c"] = jnp.where(silent, s.c, s.action_c)
-        self._state = s.replace(**updates)
+        return pos, vel, rot, ang_vel
 
     def _friction_force(self, vel: Array, coeff: Array, mass_like: Array) -> Array:
         """Static/kinetic friction (core.py:2054-2073).  ``vel`` is

@@ -36,6 +36,8 @@ def pallas_lidar_enabled() -> bool:
     flag = os.environ.get("VMT_PALLAS_LIDAR")
     if flag is not None:
         return flag not in ("0", "false", "False")
+    if os.environ.get("VMT_PALLAS_INTERPRET") == "1":
+        return True  # interpret mode: exercised in CPU tests
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -178,6 +180,7 @@ def _pallas_forward(
         ],
         out_specs=col_spec(R),
         out_shape=jax.ShapeDtypeStruct((R, B), jnp.float32),
+        interpret=os.environ.get("VMT_PALLAS_INTERPRET") == "1",
     )(
         origin.T,
         angles.T,
