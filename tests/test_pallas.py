@@ -31,6 +31,8 @@ def _compare(scenario, n_steps=3, num_envs=4, **kw):
     env_p.reset(seed=0)
     for t in range(n_steps):
         acts = env_j.get_random_actions()
+        env_p.get_random_actions()  # keep the PRNG keys in lockstep:
+        # scenario obs-noise / scripted policies draw from the state key
         oj = env_j.step(acts)
         op = env_p.step(acts)
         for a, b in zip(op[0], oj[0]):
@@ -53,6 +55,32 @@ def test_fused_step_substeps_and_clamps(pallas_interpret):
     _compare("simple_tag")
 
 
+def test_fused_step_line_sphere(pallas_interpret):
+    # wheel: line-sphere narrowphase + a rotating line
+    _compare("wheel", n_steps=2)
+
+
+def test_fused_step_box_line_hollow(pallas_interpret):
+    # balance: line-sphere + box-sphere + box-line with walls
+    _compare("balance", n_steps=2, num_envs=2)
+
+
+def test_fused_step_box_box(pallas_interpret):
+    # kinematic_bicycle: the box-box narrowphase (8-candidate min)
+    _compare("kinematic_bicycle", n_steps=2, num_envs=2)
+
+
+def test_fused_step_joints(pallas_interpret):
+    # asym_joint: 3 rotating joints with anchor deltas + obs noise
+    # (exercises the PRNG-lockstep in _compare too)
+    _compare("asym_joint", n_steps=2, num_envs=2)
+
+
+def test_fused_step_friction(pallas_interpret):
+    # give_way: linear friction + line-sphere contacts
+    _compare("give_way", n_steps=2, num_envs=2)
+
+
 def test_fused_lidar_matches_jnp(pallas_interpret):
     _compare("discovery", n_agents=3, n_targets=3)
 
@@ -60,7 +88,7 @@ def test_fused_lidar_matches_jnp(pallas_interpret):
 def test_unsupported_configs_fall_back(pallas_interpret):
     from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
 
-    env = vmt.make_env("balance", num_envs=2, seed=0)  # lines + friction
+    env = vmt.make_env("pollock", num_envs=2, seed=0)  # all-pairs: too big
     assert not physics_pallas.step_supported(env.world)
     env = vmt.make_env("waterfall", num_envs=2, seed=0)  # joints
     assert not physics_pallas.step_supported(env.world)

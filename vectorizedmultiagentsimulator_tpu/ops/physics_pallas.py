@@ -11,11 +11,15 @@ registers/VMEM in the transposed layout (env batch on the 128-wide lane
 dimension; entity loops, pair tables and substeps unrolled at trace time
 since they are static).
 
-Supported subset (``step_supported``): sphere-sphere and solid box-sphere
-contacts, static gravity, drag, world-bound clamps, per-entity
-max_speed/v_range — i.e. the bulk of the scenario library, including the
-flagship bench configs.  Joints, lines, hollow boxes, friction and dynamic
-gravity fall back to the jnp path with identical semantics.
+Supported subset (``step_supported``): every narrowphase class —
+sphere-sphere, box-sphere, line-sphere, line-line, box-line and box-box
+(solid or hollow) — plus distance/fixed-rotation joints, linear/angular
+friction, static gravity, drag, world-bound clamps and per-entity
+max_speed/v_range; i.e. the whole scenario library except batch-dynamic
+joint fixed_rotation and dynamic per-env gravity, which fall back to the
+jnp path with identical semantics.  A weighted unroll-size guard keeps
+compile time and VMEM bounded (the all-pairs ``pollock`` / ``waterfall``
+stress scenarios fall back).
 
 Gradients: ``jax.custom_vjp`` whose backward re-runs ``World._step_core``
 under ``jax.vjp`` — Pallas forward speed, full differentiability.
@@ -54,20 +58,21 @@ def pallas_step_enabled() -> bool:
 def step_supported(world) -> bool:
     if not pallas_step_enabled():
         return False
-    if world._ordered_constraints:
-        return False  # joints
-    for cls in ("ls", "ll", "bl", "bb"):
-        if len(world._pairs[cls]):
-            return False  # line/box-box narrowphase not in the kernel yet
-    if len(world._pairs["bs"]) and world._hollow[world._pairs["bs"][:, 0]].any():
-        return False  # hollow boxes
-    if np.any(world._lin_friction > 0) or np.any(world._ang_friction > 0):
-        return False
+    for c in world._ordered_constraints:
+        # batch-dynamic (extras-backed) fixed_rotation stays on the jnp path
+        if not (
+            c.fixed_rotation is None
+            or isinstance(c.fixed_rotation, (int, float))
+        ):
+            return False
     if world._dyn_gravity_names:
         return False
-    # Unrolled-kernel size guard (compile time / VMEM)
-    n_pairs = len(world._pairs["ss"]) + len(world._pairs["bs"])
-    if world._n_entities > 64 or n_pairs * world._substeps > 512:
+    # Unrolled-kernel size guard (compile time / VMEM), weighted by the
+    # per-pair narrowphase cost (seg-seg tests each unroll ~30 VPU ops).
+    weight = {"ss": 1, "bs": 2, "ls": 1, "ll": 3, "bl": 8, "bb": 16}
+    cost = sum(w * len(world._pairs[c]) for c, w in weight.items())
+    cost += 2 * len(world._ordered_constraints)
+    if world._n_entities > 64 or cost * world._substeps > 2048:
         return False
     return True
 
@@ -99,29 +104,62 @@ def _make_kernel(world):
     radius = [float(r) for r in world._radius]
     length = [float(l) for l in world._length]
     width = [float(w) for w in world._width]
+    hollow = [bool(h) for h in world._hollow]
+    lin_fric = [float(f) for f in world._lin_friction]
+    ang_fric = [float(f) for f in world._ang_friction]
     ss_pairs = [(int(a), int(b)) for a, b in world._pairs["ss"]]
     bs_pairs = [(int(a), int(b)) for a, b in world._pairs["bs"]]
+    ls_pairs = [(int(a), int(b)) for a, b in world._pairs["ls"]]
+    ll_pairs = [(int(a), int(b)) for a, b in world._pairs["ll"]]
+    bl_pairs = [(int(a), int(b)) for a, b in world._pairs["bl"]]
+    bb_pairs = [(int(a), int(b)) for a, b in world._pairs["bb"]]
     substeps = int(world._substeps)
     sub_dt = float(world._sub_dt)
     k_margin = float(world._contact_margin)
     cforce = float(world._collision_force)
+    jforce = float(world._joint_force)
+    tcforce = float(world._torque_constraint_force)
+    # (ia, ib, dax, day, dbx, dby, dist, rotate, fixed_rotation)
+    joints = [
+        (
+            int(world._joint_ia[i]),
+            int(world._joint_ib[i]),
+            float(world._joint_delta_a[i][0]),
+            float(world._joint_delta_a[i][1]),
+            float(world._joint_delta_b[i][0]),
+            float(world._joint_delta_b[i][1]),
+            float(world._joint_dist[i]),
+            bool(world._joint_rotate[i]),
+            float(c.fixed_rotation or 0.0),
+        )
+        for i, c in enumerate(world._ordered_constraints)
+    ]
     x_semidim = world._x_semidim
     y_semidim = world._y_semidim
 
-    def soft_contact(dx, dy, dist_min):
-        """Soft (differentiable) repulsive contact force magnitude along
-        (dx, dy) (core.py:2805-2839), returns (fx, fy) on entity a."""
+    def constraint_pair(dx, dy, dist_min, mult, attractive):
+        """Soft (differentiable) constraint force along (dx, dy) —
+        core.py:2805-2839; returns (fx, fy) on entity a."""
         dist = _safe_norm2(dx, dy)
+        sign = -1.0 if attractive else 1.0
         penetration = (
-            jnp.logaddexp(0.0, (dist_min - dist) / k_margin) * k_margin
+            jnp.logaddexp(0.0, (dist_min - dist) * sign / k_margin)
+            * k_margin
         )
-        scale = cforce * penetration / jnp.maximum(dist, 1e-8)
+        scale = sign * mult * penetration / jnp.maximum(dist, 1e-8)
         fx = dx * scale
         fy = dy * scale
-        zero = (dist < 1e-6) | (dist > dist_min)
+        zero = dist < 1e-6
+        if attractive:
+            zero = zero | (dist < dist_min)
+        else:
+            zero = zero | (dist > dist_min)
         fx = jnp.where(zero, 0.0, fx)
         fy = jnp.where(zero, 0.0, fy)
         return fx, fy
+
+    def soft_contact(dx, dy, dist_min):
+        return constraint_pair(dx, dy, dist_min, cforce, False)
 
     def closest_on_box(rel_x, rel_y, half_l, half_w):
         """Closest point on a box PERIMETER to a point, in the box frame —
@@ -147,6 +185,99 @@ def _make_kernel(world):
             best_y = jnp.where(better, cy, best_y)
             best_d = jnp.minimum(best_d, d)
         return best_x, best_y
+
+    def closest_on_seg(sx, sy, cos_s, sin_s, half, qx, qy):
+        """Closest point on a segment (center, direction, half-length) to a
+        query point — geometry.closest_point_line (physics.py:400-429)."""
+        dx = sx - qx
+        dy = sy - qy
+        dot = dx * cos_s + dy * sin_s
+        sign = jnp.sign(dot)
+        dist = jnp.minimum(jnp.abs(dot), half)
+        return sx - sign * dist * cos_s, sy - sign * dist * sin_s
+
+    def closest_seg_seg(ax, ay, cos_a, sin_a, ha, bx, by, cos_b, sin_b, hb):
+        """Closest point pair between two segments —
+        geometry.closest_points_line_line (physics.py:144-260), fused:
+        intersection test + 4 endpoint-projection candidates, first-min."""
+        a1x, a1y = ax + ha * cos_a, ay + ha * sin_a
+        a2x, a2y = ax - ha * cos_a, ay - ha * sin_a
+        b1x, b1y = bx + hb * cos_b, by + hb * sin_b
+        b2x, b2y = bx - hb * cos_b, by - hb * sin_b
+        rx, ry = a2x - a1x, a2y - a1y
+        sx_, sy_ = b2x - b1x, b2y - b1y
+        qpx, qpy = b1x - a1x, b1y - a1y
+        cross_rs = rx * sy_ - ry * sx_
+        denom = jnp.where(cross_rs != 0, cross_rs, 1.0)
+        u = (qpx * ry - qpy * rx) / denom
+        t = (qpx * sy_ - qpy * sx_) / denom
+        crossing = (
+            (cross_rs != 0) & (0 <= t) & (t <= 1) & (0 <= u) & (u <= 1)
+        )
+        pix = a1x + t * rx
+        piy = a1y + t * ry
+        a1bx, a1by = closest_on_seg(bx, by, cos_b, sin_b, hb, a1x, a1y)
+        a2bx, a2by = closest_on_seg(bx, by, cos_b, sin_b, hb, a2x, a2y)
+        b1ax, b1ay = closest_on_seg(ax, ay, cos_a, sin_a, ha, b1x, b1y)
+        b2ax, b2ay = closest_on_seg(ax, ay, cos_a, sin_a, ha, b2x, b2y)
+        cands = (
+            (a1x, a1y, a1bx, a1by),
+            (a2x, a2y, a2bx, a2by),
+            (b1ax, b1ay, b1x, b1y),
+            (b2ax, b2ay, b2x, b2y),
+        )
+        p1x, p1y, p2x, p2y = cands[0]
+        best_d = _safe_norm2(p1x - p2x, p1y - p2y)
+        for c1x, c1y, c2x, c2y in cands[1:]:
+            d = _safe_norm2(c1x - c2x, c1y - c2y)
+            better = d < best_d
+            p1x = jnp.where(better, c1x, p1x)
+            p1y = jnp.where(better, c1y, p1y)
+            p2x = jnp.where(better, c2x, p2x)
+            p2y = jnp.where(better, c2y, p2y)
+            best_d = jnp.minimum(best_d, d)
+        p1x = jnp.where(crossing, pix, p1x)
+        p1y = jnp.where(crossing, piy, p1y)
+        p2x = jnp.where(crossing, pix, p2x)
+        p2y = jnp.where(crossing, piy, p2y)
+        return p1x, p1y, p2x, p2y
+
+    def closest_seg_box(sides, sx, sy, cos_s, sin_s, hs):
+        """Closest (box point, segment point) pair between a box (as its 4
+        sides) and a segment — geometry.closest_line_box
+        (physics.py:328-382), first-min over the sides."""
+        best = None
+        best_d = None
+        for ex, ey, ec, es, eh in sides:
+            q = closest_seg_seg(ex, ey, ec, es, eh, sx, sy, cos_s, sin_s, hs)
+            d = _safe_norm2(q[0] - q[2], q[1] - q[3])
+            if best is None:
+                best, best_d = q, d
+            else:
+                better = d < best_d
+                best = tuple(
+                    jnp.where(better, qq, bb) for qq, bb in zip(q, best)
+                )
+                best_d = jnp.minimum(best_d, d)
+        return best  # (box_x, box_y, seg_x, seg_y)
+
+    def inner_box(outx, outy, surfx, surfy, cx, cy):
+        """geometry.inner_point_box (physics.py:13-23): project the surface
+        contact point toward the box centre; returns (ix, iy, d)."""
+        v_x = surfx - outx
+        v_y = surfy - outy
+        u_x = cx - surfx
+        u_y = cy - surfy
+        v_norm = _safe_norm2(v_x, v_y)
+        x_mag = (v_x * u_x + v_y * u_y) / jnp.maximum(v_norm, 1e-12)
+        inv_vn = 1.0 / jnp.maximum(v_norm, 1e-12)
+        ix = surfx + v_x * inv_vn * x_mag
+        iy = surfy + v_y * inv_vn * x_mag
+        degenerate = v_norm == 0
+        ix = jnp.where(degenerate, surfx + surfx, ix)
+        iy = jnp.where(degenerate, surfy + surfy, iy)
+        d = jnp.where(degenerate, 0.0, jnp.abs(x_mag))
+        return ix, iy, d
 
     def kernel(pos_ref, vel_ref, rot_ref, angvel_ref, force_ref, torque_ref,
                opos_ref, ovel_ref, orot_ref, oangvel_ref):
@@ -187,6 +318,67 @@ def _make_kernel(world):
                 if movable[i] and (gx != 0.0 or gy != 0.0):
                     add(fx, i, gx * mass[i])
                     add(fy, i, gy * mass[i])
+                # static/kinetic friction (core.py:2054-2073)
+                if movable[i] and lin_fric[i] > 0.0:
+                    speed = _safe_norm2(vx[i], vy[i])
+                    static = speed == 0
+                    denom = jnp.where(static, 1e-8, speed)
+                    fconst = lin_fric[i] * mass[i]
+                    ffx = -(vx[i] / denom) * jnp.minimum(
+                        fconst, jnp.abs(vx[i]) / sub_dt * mass[i]
+                    )
+                    ffy = -(vy[i] / denom) * jnp.minimum(
+                        fconst, jnp.abs(vy[i]) / sub_dt * mass[i]
+                    )
+                    add(fx, i, jnp.where(static, 0.0, ffx))
+                    add(fy, i, jnp.where(static, 0.0, ffy))
+                if rotatable[i] and ang_fric[i] > 0.0:
+                    aspeed = jnp.abs(w[i])
+                    static = aspeed == 0
+                    dirw = w[i] / jnp.where(static, 1e-8, aspeed)
+                    tf = -dirw * jnp.minimum(
+                        ang_fric[i] * moment[i],
+                        aspeed / sub_dt * moment[i],
+                    )
+                    add(tq, i, jnp.where(static, 0.0, tf))
+
+            # ---- joint constraints (core.py:2201-2292) ---- #
+            for ia, ib, dax, day, dbx, dby, jdist, jrot, frot in joints:
+                cos_a, sin_a = jnp.cos(th[ia]), jnp.sin(th[ia])
+                cos_b, sin_b = jnp.cos(th[ib]), jnp.sin(th[ib])
+                rax = dax * cos_a - day * sin_a
+                ray = dax * sin_a + day * cos_a
+                rbx = dbx * cos_b - dby * sin_b
+                rby = dbx * sin_b + dby * cos_b
+                pjax, pjay = px[ia] + rax, py[ia] + ray
+                pjbx, pjby = px[ib] + rbx, py[ib] + rby
+                dx = pjax - pjbx
+                dy = pjay - pjby
+                fx1, fy1 = constraint_pair(dx, dy, jdist, jforce, True)
+                fx2, fy2 = constraint_pair(dx, dy, jdist, jforce, False)
+                jfx = fx1 + fx2
+                jfy = fy1 + fy2
+                if movable[ia]:
+                    add(fx, ia, jfx)
+                    add(fy, ia, jfy)
+                if movable[ib]:
+                    add(fx, ib, -jfx)
+                    add(fy, ib, -jfy)
+                ta = rax * jfy - ray * jfx
+                tb = rbx * (-jfy) - rby * (-jfx)
+                if not jrot:
+                    # fixed-rotation constraint torque (core.py:2841-2858)
+                    delta_rot = th[ia] - (th[ib] + frot)
+                    abs_dr = jnp.abs(delta_rot)
+                    pen = jnp.exp(abs_dr) - 1.0
+                    tq_c = tcforce * jnp.sign(delta_rot) * pen
+                    tq_c = jnp.where(abs_dr < 1e-9, 0.0, tq_c)
+                    ta = ta - tq_c
+                    tb = tb + tq_c
+                if rotatable[ia]:
+                    add(tq, ia, ta)
+                if rotatable[ib]:
+                    add(tq, ib, tb)
 
             # ---- sphere-sphere contacts (core.py:2294-2339) ---- #
             for a, b in ss_pairs:
@@ -199,7 +391,7 @@ def _make_kernel(world):
                     add(fx, b, -cfx)
                     add(fy, b, -cfy)
 
-            # ---- box-sphere contacts (core.py:2459-2552, solid) ---- #
+            # ---- box-sphere contacts (core.py:2459-2552) ---- #
             for bi, si in bs_pairs:
                 cos_b = jnp.cos(th[bi])
                 sin_b = jnp.sin(th[bi])
@@ -216,25 +408,17 @@ def _make_kernel(world):
                 ccy = cx_l * sin_b + cy_l * cos_b
                 closest_x = px[bi] + ccx
                 closest_y = py[bi] + ccy
-                # inner point projection (solid box, physics.py:13-23)
-                v_x = closest_x - px[si]
-                v_y = closest_y - py[si]
-                u_x = px[bi] - closest_x
-                u_y = py[bi] - closest_y
-                v_norm = _safe_norm2(v_x, v_y)
-                x_mag = (v_x * u_x + v_y * u_y) / jnp.maximum(v_norm, 1e-12)
-                inv_vn = 1.0 / jnp.maximum(v_norm, 1e-12)
-                ix = closest_x + v_x * inv_vn * x_mag
-                iy = closest_y + v_y * inv_vn * x_mag
-                degenerate = v_norm == 0
-                ix = jnp.where(degenerate, closest_x + closest_x, ix)
-                iy = jnp.where(degenerate, closest_y + closest_y, iy)
-                d_extra = jnp.where(degenerate, 0.0, jnp.abs(x_mag))
-                # NOTE: reference inner point for degenerate v is the
-                # surface point itself (x := surface_point), i.e. ix =
-                # 2*closest in its coordinates; replicate exactly:
-                # inner = surface_point + x where x = surface_point when
-                # degenerate (physics.py:20-22).
+                if hollow[bi]:
+                    ix, iy = closest_x, closest_y
+                    d_extra = 0.0
+                else:
+                    # NOTE: reference inner point for degenerate v is the
+                    # surface point itself (x := surface_point), i.e. ix =
+                    # 2*closest in its coordinates (physics.py:20-22) —
+                    # replicated exactly inside inner_box.
+                    ix, iy, d_extra = inner_box(
+                        px[si], py[si], closest_x, closest_y, px[bi], py[bi]
+                    )
 
                 dmin = radius[si] + LINE_MIN_DIST + d_extra
                 cfx, cfy = soft_contact(
@@ -249,6 +433,163 @@ def _make_kernel(world):
                 if rotatable[bi]:
                     # torque = cross(closest - box_pos, force_on_box)
                     add(tq, bi, ccx * (-cfy) - ccy * (-cfx))
+
+            # ---- line-sphere contacts (core.py:2341-2392) ---- #
+            for li, si in ls_pairs:
+                cos_l = jnp.cos(th[li])
+                sin_l = jnp.sin(th[li])
+                clx, cly = closest_on_seg(
+                    px[li], py[li], cos_l, sin_l, length[li] / 2,
+                    px[si], py[si],
+                )
+                cfx, cfy = soft_contact(
+                    px[si] - clx, py[si] - cly, radius[si] + LINE_MIN_DIST
+                )
+                if movable[si]:
+                    add(fx, si, cfx)
+                    add(fy, si, cfy)
+                if movable[li]:
+                    add(fx, li, -cfx)
+                    add(fy, li, -cfy)
+                if rotatable[li]:
+                    add(
+                        tq, li,
+                        (clx - px[li]) * (-cfy) - (cly - py[li]) * (-cfx),
+                    )
+
+            # ---- line-line contacts (core.py:2394-2457) ---- #
+            for a, b in ll_pairs:
+                cos_a, sin_a = jnp.cos(th[a]), jnp.sin(th[a])
+                cos_b, sin_b = jnp.cos(th[b]), jnp.sin(th[b])
+                pax, pay, pbx, pby = closest_seg_seg(
+                    px[a], py[a], cos_a, sin_a, length[a] / 2,
+                    px[b], py[b], cos_b, sin_b, length[b] / 2,
+                )
+                cfx, cfy = soft_contact(pax - pbx, pay - pby, LINE_MIN_DIST)
+                if movable[a]:
+                    add(fx, a, cfx)
+                    add(fy, a, cfy)
+                if rotatable[a]:
+                    add(tq, a, (pax - px[a]) * cfy - (pay - py[a]) * cfx)
+                if movable[b]:
+                    add(fx, b, -cfx)
+                    add(fy, b, -cfy)
+                if rotatable[b]:
+                    add(
+                        tq, b,
+                        (pbx - px[b]) * (-cfy) - (pby - py[b]) * (-cfx),
+                    )
+
+            def box_sides(i, cos_b, sin_b):
+                """The 4 sides of box i as segments, in the reference order
+                (+length, -length, +width, -width — geometry.all_lines_box,
+                physics.py:298-325).  perp = (cos(r+pi/2), sin(r+pi/2)) =
+                (-sin, cos)."""
+                hl = length[i] / 2
+                hw = width[i] / 2
+                return (
+                    (px[i] + hl * cos_b, py[i] + hl * sin_b,
+                     -sin_b, cos_b, hw),
+                    (px[i] - hl * cos_b, py[i] - hl * sin_b,
+                     -sin_b, cos_b, hw),
+                    (px[i] - hw * sin_b, py[i] + hw * cos_b,
+                     cos_b, sin_b, hl),
+                    (px[i] + hw * sin_b, py[i] - hw * cos_b,
+                     cos_b, sin_b, hl),
+                )
+
+            # ---- box-line contacts (core.py:2554-2653) ---- #
+            for bi, li in bl_pairs:
+                cos_b, sin_b = jnp.cos(th[bi]), jnp.sin(th[bi])
+                cos_l, sin_l = jnp.cos(th[li]), jnp.sin(th[li])
+                sides = box_sides(bi, cos_b, sin_b)
+                pbx_, pby_, plx, ply = closest_seg_box(
+                    sides, px[li], py[li], cos_l, sin_l, length[li] / 2
+                )
+                if hollow[bi]:
+                    ix, iy, d_extra = pbx_, pby_, 0.0
+                else:
+                    ix, iy, d_extra = inner_box(
+                        plx, ply, pbx_, pby_, px[bi], py[bi]
+                    )
+                cfx, cfy = soft_contact(
+                    ix - plx, iy - ply, LINE_MIN_DIST + d_extra
+                )
+                if movable[bi]:
+                    add(fx, bi, cfx)
+                    add(fy, bi, cfy)
+                if rotatable[bi]:
+                    add(
+                        tq, bi,
+                        (pbx_ - px[bi]) * cfy - (pby_ - py[bi]) * cfx,
+                    )
+                if movable[li]:
+                    add(fx, li, -cfx)
+                    add(fy, li, -cfy)
+                if rotatable[li]:
+                    add(
+                        tq, li,
+                        (plx - px[li]) * (-cfy) - (ply - py[li]) * (-cfx),
+                    )
+
+            # ---- box-box contacts (core.py:2655-2786) ---- #
+            for a, b in bb_pairs:
+                cos_a, sin_a = jnp.cos(th[a]), jnp.sin(th[a])
+                cos_b, sin_b = jnp.cos(th[b]), jnp.sin(th[b])
+                sides_a = box_sides(a, cos_a, sin_a)
+                sides_b = box_sides(b, cos_b, sin_b)
+                # 8 candidates, reference order (geometry.closest_box_box):
+                # pass 1 = sides of box a vs box b, pass 2 = sides of box b
+                # vs box a; first-min select.
+                cands = []
+                for ex, ey, ec, es, eh in sides_a:
+                    qbx, qby, qax, qay = closest_seg_box(
+                        sides_b, ex, ey, ec, es, eh
+                    )
+                    cands.append((qax, qay, qbx, qby))  # (on a, on b)
+                for ex, ey, ec, es, eh in sides_b:
+                    qax, qay, qbx, qby = closest_seg_box(
+                        sides_a, ex, ey, ec, es, eh
+                    )
+                    cands.append((qax, qay, qbx, qby))
+                pax, pay, pbx, pby = cands[0]
+                best_d = _safe_norm2(pax - pbx, pay - pby)
+                for c1x, c1y, c2x, c2y in cands[1:]:
+                    d = _safe_norm2(c1x - c2x, c1y - c2y)
+                    better = d < best_d
+                    pax = jnp.where(better, c1x, pax)
+                    pay = jnp.where(better, c1y, pay)
+                    pbx = jnp.where(better, c2x, pbx)
+                    pby = jnp.where(better, c2y, pby)
+                    best_d = jnp.minimum(best_d, d)
+                if hollow[a]:
+                    iax, iay, d_a = pax, pay, 0.0
+                else:
+                    iax, iay, d_a = inner_box(
+                        pbx, pby, pax, pay, px[a], py[a]
+                    )
+                if hollow[b]:
+                    ibx, iby, d_b = pbx, pby, 0.0
+                else:
+                    ibx, iby, d_b = inner_box(
+                        pax, pay, pbx, pby, px[b], py[b]
+                    )
+                cfx, cfy = soft_contact(
+                    iax - ibx, iay - iby, d_a + d_b + LINE_MIN_DIST
+                )
+                if movable[a]:
+                    add(fx, a, cfx)
+                    add(fy, a, cfy)
+                if rotatable[a]:
+                    add(tq, a, (pax - px[a]) * cfy - (pay - py[a]) * cfx)
+                if movable[b]:
+                    add(fx, b, -cfx)
+                    add(fy, b, -cfy)
+                if rotatable[b]:
+                    add(
+                        tq, b,
+                        (pbx - px[b]) * (-cfy) - (pby - py[b]) * (-cfx),
+                    )
 
             # ---- integrate (core.py:2860-2908) ---- #
             for i in range(N):
