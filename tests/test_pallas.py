@@ -85,6 +85,43 @@ def test_fused_lidar_matches_jnp(pallas_interpret):
     _compare("discovery", n_agents=3, n_targets=3)
 
 
+def test_fused_step_partitions_under_gspmd(pallas_interpret):
+    """The custom_partitioning rule must keep the sharded step free of
+    collectives (GSPMD cannot partition a raw pallas_call: without the
+    rule this compiles with 18 all-gathers + 196 collective-permutes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorizedmultiagentsimulator_tpu.parallel import (
+        make_mesh,
+        shard_environment,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    env = vmt.make_env("transport", num_envs=16, seed=0)
+    mesh = make_mesh()
+    shard_environment(env, mesh)
+    acts = tuple(
+        jnp.zeros((env.num_envs, a.action_size)) for a in env.agents
+    )
+    txt = jax.jit(env.step_fn).lower(env.state, acts).compile().as_text()
+    for coll in ("all-gather", "all-reduce", "collective-permute"):
+        assert txt.count(coll) == 0, f"sharded fused step emits {coll}"
+
+    # And the sharded step must execute + match the unsharded jnp path.
+    env2 = vmt.make_env("transport", num_envs=16, seed=0)
+    shard_environment(env2, mesh)
+    env2.reset(seed=0)
+    o1 = env2.step(list(acts))
+    os.environ["VMT_PALLAS_STEP"] = "0"
+    env3 = vmt.make_env("transport", num_envs=16, seed=0)
+    env3.reset(seed=0)
+    o2 = env3.step(list(acts))
+    for a, b in zip(o1[0], o2[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_unsupported_configs_fall_back(pallas_interpret):
     from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
 

@@ -687,10 +687,77 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a):
     return new_pos, new_vel, new_rot, new_angvel
 
 
+def _partitioned_forward(world):
+    """Wrap ``_pallas_forward`` with an SPMD partitioning rule.
+
+    GSPMD cannot partition a custom (Pallas) call by itself: without this
+    rule a batch-sharded step compiles with all-gathers around the kernel
+    (measured: 18 all-gathers + 196 collective-permutes on an 8-device
+    mesh vs ZERO for the jnp path).  The env batch is embarrassingly
+    parallel, so the rule shards every operand/result on dim 0 and runs
+    the same kernel on each device's local shard — restoring the
+    zero-collective data-parallel step on multi-chip meshes.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def fwd(pos, vel, rot, ang_vel, force_a, torque_a):
+        return _pallas_forward(world, pos, vel, rot, ang_vel, force_a,
+                               torque_a)
+
+    def _batch_only(sharding, ndim):
+        """Keep only the batch (dim 0) factor of an operand sharding."""
+        spec = getattr(sharding, "spec", None)
+        b = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(
+            sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1)))
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        return tuple(
+            _batch_only(arg_shapes[i].sharding, arg_shapes[i].ndim)
+            for i in range(4)
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _batch_only(a.sharding, a.ndim) for a in arg_shapes
+        )
+        result_shardings = tuple(
+            _batch_only(a.sharding, a.ndim) for a in arg_shapes[:4]
+        )
+
+        def lower_fn(*args):
+            return _pallas_forward(world, *args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b e i, b e i, b e r, b e r, b a i, b a r"
+            " -> b e i, b e i, b e r, b e r"
+        ),
+    )
+    return fwd
+
+
+def _get_partitioned_forward(world):
+    fwd = world.__dict__.get("_pallas_partitioned_fwd")
+    if fwd is None:
+        fwd = _partitioned_forward(world)
+        world._pallas_partitioned_fwd = fwd
+    return fwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a):
     """One full physics step (all substeps) as a single Pallas kernel."""
-    return _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a)
+    return _get_partitioned_forward(world)(
+        pos, vel, rot, ang_vel, force_a, torque_a
+    )
 
 
 def _fwd(world, pos, vel, rot, ang_vel, force_a, torque_a):
