@@ -247,6 +247,74 @@ def _jnp_reference(
     return jnp.min(jnp.stack(dists, axis=0), axis=0)
 
 
+_PARTITIONED_CACHE = {}
+
+
+def _make_partitioned_forward(statics):
+    """Wrap the kernel with an SPMD rule so a batch-sharded LIDAR cast
+    compiles collective-free under GSPMD (a raw pallas_call cannot be
+    partitioned — see ops/physics_pallas._partitioned_forward)."""
+    sphere_radius, box_length, box_width, line_length, max_range = statics
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def fwd(origin, angles, sphere_pos, box_pos, box_rot, line_pos,
+            line_rot):
+        return _pallas_forward(
+            origin, angles, sphere_pos, box_pos, box_rot, line_pos,
+            line_rot,
+            sphere_radius=sphere_radius,
+            box_length=box_length,
+            box_width=box_width,
+            line_length=line_length,
+            max_range=max_range,
+        )
+
+    def _batch_only(sharding, ndim):
+        spec = getattr(sharding, "spec", None)
+        b = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(
+            sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1)))
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _batch_only(arg_shapes[1].sharding, 2)
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _batch_only(a.sharding, a.ndim) for a in arg_shapes
+        )
+        result_shardings = _batch_only(arg_shapes[1].sharding, 2)
+
+        def lower_fn(*args):
+            return _pallas_forward(
+                *args,
+                sphere_radius=sphere_radius,
+                box_length=box_length,
+                box_width=box_width,
+                line_length=line_length,
+                max_range=max_range,
+            )
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b i, b r, b s, b p, b q, b l, b m -> b r",
+    )
+    return fwd
+
+
+def _get_partitioned_forward(statics):
+    fwd = _PARTITIONED_CACHE.get(statics)
+    if fwd is None:
+        fwd = _make_partitioned_forward(statics)
+        _PARTITIONED_CACHE[statics] = fwd
+    return fwd
+
+
 @functools.partial(
     jax.custom_vjp,
     nondiff_argnums=(7, 8, 9, 10, 11),
@@ -271,19 +339,15 @@ def fused_cast_rays(
     poses as flattened ``[B, 2*E]`` / ``[B, E]`` arrays (zero-width when a
     class is empty).
     """
-    return _pallas_forward(
-        origin,
-        angles,
-        sphere_pos,
-        box_pos,
-        box_rot,
-        line_pos,
-        line_rot,
-        sphere_radius=sphere_radius,
-        box_length=box_length,
-        box_width=box_width,
-        line_length=line_length,
-        max_range=max_range,
+    statics = (
+        tuple(float(x) for x in sphere_radius),
+        tuple(float(x) for x in box_length),
+        tuple(float(x) for x in box_width),
+        tuple(float(x) for x in line_length),
+        float(max_range),
+    )
+    return _get_partitioned_forward(statics)(
+        origin, angles, sphere_pos, box_pos, box_rot, line_pos, line_rot
     )
 
 
