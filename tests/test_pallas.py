@@ -81,6 +81,11 @@ def test_fused_step_friction(pallas_interpret):
     _compare("give_way", n_steps=2, num_envs=2)
 
 
+def test_fused_step_dyn_gravity(pallas_interpret):
+    # wind_flocking: per-env dynamic gravity ("wind") from extras
+    _compare("wind_flocking", n_steps=2, num_envs=2)
+
+
 def test_fused_lidar_matches_jnp(pallas_interpret):
     _compare("discovery", n_agents=3, n_targets=3)
 

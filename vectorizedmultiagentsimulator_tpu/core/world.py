@@ -601,8 +601,12 @@ class World:
         if self._pallas_step_ok():
             from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
 
+            dyn_g = physics_pallas.stacked_dyn_gravity(
+                self, s.extras, s.pos.shape[0]
+            )
             pos, vel, rot, ang_vel = physics_pallas.fused_step(
-                self, s.pos, s.vel, s.rot, s.ang_vel, force_a, torque_a
+                self, s.pos, s.vel, s.rot, s.ang_vel, force_a, torque_a,
+                dyn_g,
             )
         else:
             pos, vel, rot, ang_vel = self._step_core(

@@ -65,8 +65,6 @@ def step_supported(world) -> bool:
             or isinstance(c.fixed_rotation, (int, float))
         ):
             return False
-    if world._dyn_gravity_names:
-        return False
     # Unrolled-kernel size guard (compile time / VMEM), weighted by the
     # per-pair narrowphase cost (seg-seg tests each unroll ~30 VPU ops).
     weight = {"ss": 1, "bs": 2, "ls": 1, "ll": 3, "bl": 8, "bb": 16}
@@ -107,6 +105,13 @@ def _make_kernel(world):
     hollow = [bool(h) for h in world._hollow]
     lin_fric = [float(f) for f in world._lin_friction]
     ang_fric = [float(f) for f in world._ang_friction]
+    # row index into the stacked dyn-gravity input, per entity (or None)
+    dyn_row = [
+        world._dyn_gravity_names.index(e.name)
+        if e.name in world._dyn_gravity_names
+        else None
+        for e in world.entities
+    ]
     ss_pairs = [(int(a), int(b)) for a, b in world._pairs["ss"]]
     bs_pairs = [(int(a), int(b)) for a, b in world._pairs["bs"]]
     ls_pairs = [(int(a), int(b)) for a, b in world._pairs["ls"]]
@@ -280,7 +285,7 @@ def _make_kernel(world):
         return ix, iy, d
 
     def kernel(pos_ref, vel_ref, rot_ref, angvel_ref, force_ref, torque_ref,
-               opos_ref, ovel_ref, orot_ref, oangvel_ref):
+               dyn_ref, opos_ref, ovel_ref, orot_ref, oangvel_ref):
         px = [pos_ref[2 * i : 2 * i + 1, :] for i in range(N)]
         py = [pos_ref[2 * i + 1 : 2 * i + 2, :] for i in range(N)]
         vx = [vel_ref[2 * i : 2 * i + 1, :] for i in range(N)]
@@ -318,6 +323,11 @@ def _make_kernel(world):
                 if movable[i] and (gx != 0.0 or gy != 0.0):
                     add(fx, i, gx * mass[i])
                     add(fy, i, gy * mass[i])
+                # per-env dynamic gravity override (extras-backed)
+                if movable[i] and dyn_row[i] is not None:
+                    k = dyn_row[i]
+                    add(fx, i, dyn_ref[2 * k : 2 * k + 1, :] * mass[i])
+                    add(fy, i, dyn_ref[2 * k + 1 : 2 * k + 2, :] * mass[i])
                 # static/kinetic friction (core.py:2054-2073)
                 if movable[i] and lin_fric[i] > 0.0:
                     speed = _safe_norm2(vx[i], vy[i])
@@ -637,9 +647,11 @@ def _make_kernel(world):
     return kernel
 
 
-def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a):
+def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
+                    dyn_g):
     B, N = pos.shape[0], pos.shape[1]
     A = force_a.shape[1]
+    D = dyn_g.shape[1]
     kernel = _make_kernel(world)
     grid = (pl.cdiv(B, _TB),)
 
@@ -654,6 +666,7 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a):
     angvel_t = ang_vel[..., 0].T
     force_t = force_a.reshape(B, 2 * max(A, 1)).T if A else jnp.zeros((2, B))
     torque_t = torque_a[..., 0].T if A else jnp.zeros((1, B))
+    dyn_t = dyn_g.reshape(B, 2 * max(D, 1)).T if D else jnp.zeros((2, B))
 
     out = pl.pallas_call(
         kernel,
@@ -665,6 +678,7 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a):
             col_spec(N),
             col_spec(force_t.shape[0]),
             col_spec(torque_t.shape[0]),
+            col_spec(dyn_t.shape[0]),
         ],
         out_specs=[
             col_spec(2 * N),
@@ -679,7 +693,7 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a):
             jax.ShapeDtypeStruct((N, B), jnp.float32),
         ],
         interpret=os.environ.get("VMT_PALLAS_INTERPRET") == "1",
-    )(pos_t, vel_t, rot_t, angvel_t, force_t, torque_t)
+    )(pos_t, vel_t, rot_t, angvel_t, force_t, torque_t, dyn_t)
     new_pos = out[0].T.reshape(B, N, 2)
     new_vel = out[1].T.reshape(B, N, 2)
     new_rot = out[2].T[..., None]
@@ -702,9 +716,9 @@ def _partitioned_forward(world):
     from jax.sharding import NamedSharding, PartitionSpec
 
     @custom_partitioning
-    def fwd(pos, vel, rot, ang_vel, force_a, torque_a):
+    def fwd(pos, vel, rot, ang_vel, force_a, torque_a, dyn_g):
         return _pallas_forward(world, pos, vel, rot, ang_vel, force_a,
-                               torque_a)
+                               torque_a, dyn_g)
 
     def _batch_only(sharding, ndim):
         """Keep only the batch (dim 0) factor of an operand sharding."""
@@ -737,7 +751,7 @@ def _partitioned_forward(world):
         partition=partition,
         infer_sharding_from_operands=infer,
         sharding_rule=(
-            "b e i, b e i, b e r, b e r, b a i, b a r"
+            "b e i, b e i, b e r, b e r, b a i, b a r, b d i"
             " -> b e i, b e i, b e r, b e r"
         ),
     )
@@ -752,24 +766,44 @@ def _get_partitioned_forward(world):
     return fwd
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a):
-    """One full physics step (all substeps) as a single Pallas kernel."""
-    return _get_partitioned_forward(world)(
-        pos, vel, rot, ang_vel, force_a, torque_a
+def stacked_dyn_gravity(world, extras, B):
+    """Stack the per-env dynamic gravity extras into ``[B, D, 2]``
+    (``D = 0`` when the world has none)."""
+    names = world._dyn_gravity_names
+    if not names:
+        return jnp.zeros((B, 0, 2), jnp.float32)
+    return jnp.stack(
+        [extras[f"{n}.dyn_gravity"] for n in names], axis=1
     )
 
 
-def _fwd(world, pos, vel, rot, ang_vel, force_a, torque_a):
-    out = fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a)
-    return out, (pos, vel, rot, ang_vel, force_a, torque_a)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a, dyn_g):
+    """One full physics step (all substeps) as a single Pallas kernel."""
+    return _get_partitioned_forward(world)(
+        pos, vel, rot, ang_vel, force_a, torque_a, dyn_g
+    )
+
+
+def _fwd(world, pos, vel, rot, ang_vel, force_a, torque_a, dyn_g):
+    out = fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a,
+                     dyn_g)
+    return out, (pos, vel, rot, ang_vel, force_a, torque_a, dyn_g)
 
 
 def _bwd(world, residuals, g):
-    args = residuals
-    _, vjp = jax.vjp(
-        lambda *a: world._step_core(*a, extras={}), *args
-    )
+    *args, dyn_g = residuals
+    names = world._dyn_gravity_names
+
+    def core(pos, vel, rot, ang_vel, force_a, torque_a, dyn):
+        extras = {
+            f"{n}.dyn_gravity": dyn[:, k] for k, n in enumerate(names)
+        }
+        return world._step_core(
+            pos, vel, rot, ang_vel, force_a, torque_a, extras
+        )
+
+    _, vjp = jax.vjp(core, *args, dyn_g)
     return vjp(g)
 
 
