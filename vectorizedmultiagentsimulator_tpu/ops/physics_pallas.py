@@ -15,11 +15,11 @@ Supported subset (``step_supported``): every narrowphase class —
 sphere-sphere, box-sphere, line-sphere, line-line, box-line and box-box
 (solid or hollow) — plus distance/fixed-rotation joints, linear/angular
 friction, static gravity, drag, world-bound clamps and per-entity
-max_speed/v_range; i.e. the whole scenario library except batch-dynamic
-joint fixed_rotation and dynamic per-env gravity, which fall back to the
-jnp path with identical semantics.  A weighted unroll-size guard keeps
-compile time and VMEM bounded (the all-pairs ``pollock`` / ``waterfall``
-stress scenarios fall back).
+max_speed/v_range and dynamic per-env gravity; i.e. the whole scenario
+library except batch-dynamic joint fixed_rotation, which falls back to
+the jnp path with identical semantics.  A weighted unroll-size guard
+keeps compile time and VMEM bounded (the all-pairs ``pollock`` /
+``waterfall`` stress scenarios fall back).
 
 Gradients: ``jax.custom_vjp`` whose backward re-runs ``World._step_core``
 under ``jax.vjp`` — Pallas forward speed, full differentiability.
@@ -84,8 +84,13 @@ def _safe_norm2(x, y):
     return jnp.where(sq > 0, n, 0.0)
 
 
-def _make_kernel(world):
-    """Build the kernel body with all static tables baked in."""
+def _make_kernel(world, R=1):
+    """Build the kernel body with all static tables baked in.
+
+    ``R`` is the sublane packing factor: each per-entity feature row is a
+    ``[R, TB]`` tile (``R=8`` fills all 8 sublanes of a vreg instead of 1,
+    ~8x VPU utilization; the env batch is split as ``B = R * (B // R)``).
+    """
     N = world._n_entities
     nl = world._n_landmarks
     A = len(world._agents)
@@ -286,12 +291,12 @@ def _make_kernel(world):
 
     def kernel(pos_ref, vel_ref, rot_ref, angvel_ref, force_ref, torque_ref,
                dyn_ref, opos_ref, ovel_ref, orot_ref, oangvel_ref):
-        px = [pos_ref[2 * i : 2 * i + 1, :] for i in range(N)]
-        py = [pos_ref[2 * i + 1 : 2 * i + 2, :] for i in range(N)]
-        vx = [vel_ref[2 * i : 2 * i + 1, :] for i in range(N)]
-        vy = [vel_ref[2 * i + 1 : 2 * i + 2, :] for i in range(N)]
-        th = [rot_ref[i : i + 1, :] for i in range(N)]
-        w = [angvel_ref[i : i + 1, :] for i in range(N)]
+        px = [pos_ref[R * 2 * i : R * (2 * i + 1), :] for i in range(N)]
+        py = [pos_ref[R * (2 * i + 1) : R * (2 * i + 2), :] for i in range(N)]
+        vx = [vel_ref[R * 2 * i : R * (2 * i + 1), :] for i in range(N)]
+        vy = [vel_ref[R * (2 * i + 1) : R * (2 * i + 2), :] for i in range(N)]
+        th = [rot_ref[R * i : R * (i + 1), :] for i in range(N)]
+        w = [angvel_ref[R * i : R * (i + 1), :] for i in range(N)]
 
         # Static action forces (landmarks zero; immovable agents masked)
         afx = [None] * N
@@ -300,10 +305,10 @@ def _make_kernel(world):
         for j in range(A):
             i = nl + j
             if movable[i]:
-                afx[i] = force_ref[2 * j : 2 * j + 1, :]
-                afy[i] = force_ref[2 * j + 1 : 2 * j + 2, :]
+                afx[i] = force_ref[R * 2 * j : R * (2 * j + 1), :]
+                afy[i] = force_ref[R * (2 * j + 1) : R * (2 * j + 2), :]
             if rotatable[i]:
-                atq[i] = torque_ref[j : j + 1, :]
+                atq[i] = torque_ref[R * j : R * (j + 1), :]
 
         for substep in range(substeps):
             fx = [None] * N
@@ -326,8 +331,8 @@ def _make_kernel(world):
                 # per-env dynamic gravity override (extras-backed)
                 if movable[i] and dyn_row[i] is not None:
                     k = dyn_row[i]
-                    add(fx, i, dyn_ref[2 * k : 2 * k + 1, :] * mass[i])
-                    add(fy, i, dyn_ref[2 * k + 1 : 2 * k + 2, :] * mass[i])
+                    add(fx, i, dyn_ref[R * 2 * k : R * (2 * k + 1), :] * mass[i])
+                    add(fy, i, dyn_ref[R * (2 * k + 1) : R * (2 * k + 2), :] * mass[i])
                 # static/kinetic friction (core.py:2054-2073)
                 if movable[i] and lin_fric[i] > 0.0:
                     speed = _safe_norm2(vx[i], vy[i])
@@ -637,12 +642,12 @@ def _make_kernel(world):
                     th[i] = th[i] + w[i] * sub_dt
 
         for i in range(N):
-            opos_ref[2 * i : 2 * i + 1, :] = px[i]
-            opos_ref[2 * i + 1 : 2 * i + 2, :] = py[i]
-            ovel_ref[2 * i : 2 * i + 1, :] = vx[i]
-            ovel_ref[2 * i + 1 : 2 * i + 2, :] = vy[i]
-            orot_ref[i : i + 1, :] = th[i]
-            oangvel_ref[i : i + 1, :] = w[i]
+            opos_ref[R * 2 * i : R * (2 * i + 1), :] = px[i]
+            opos_ref[R * (2 * i + 1) : R * (2 * i + 2), :] = py[i]
+            ovel_ref[R * 2 * i : R * (2 * i + 1), :] = vx[i]
+            ovel_ref[R * (2 * i + 1) : R * (2 * i + 2), :] = vy[i]
+            orot_ref[R * i : R * (i + 1), :] = th[i]
+            oangvel_ref[R * i : R * (i + 1), :] = w[i]
 
     return kernel
 
@@ -652,21 +657,30 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
     B, N = pos.shape[0], pos.shape[1]
     A = force_a.shape[1]
     D = dyn_g.shape[1]
-    kernel = _make_kernel(world)
-    grid = (pl.cdiv(B, _TB),)
+    # Sublane packing: a [1, TB] feature row uses 1 of 8 vreg sublanes;
+    # splitting the batch as [R=8, B/8] per feature fills the vreg
+    # (~8x VPU utilization, measured ~3x step time on transport@30k).
+    R = 8 if B % 8 == 0 else 1
+    BT = B // R
+    kernel = _make_kernel(world, R)
+    grid = (pl.cdiv(BT, _TB),)
 
     def col_spec(height):
         return pl.BlockSpec(
-            (height, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+            (height * R, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
         )
 
-    pos_t = pos.reshape(B, 2 * N).T
-    vel_t = vel.reshape(B, 2 * N).T
-    rot_t = rot[..., 0].T
-    angvel_t = ang_vel[..., 0].T
-    force_t = force_a.reshape(B, 2 * max(A, 1)).T if A else jnp.zeros((2, B))
-    torque_t = torque_a[..., 0].T if A else jnp.zeros((1, B))
-    dyn_t = dyn_g.reshape(B, 2 * max(D, 1)).T if D else jnp.zeros((2, B))
+    def pack(x, F):
+        # [B, F] -> [F, B] -> [F*R, B/R]  (row f*R+s, col l = env s*BT+l)
+        return x.reshape(B, F).T.reshape(F * R, BT)
+
+    pos_t = pack(pos, 2 * N)
+    vel_t = pack(vel, 2 * N)
+    rot_t = pack(rot, N)
+    angvel_t = pack(ang_vel, N)
+    force_t = pack(force_a, 2 * A) if A else jnp.zeros((2 * R, BT))
+    torque_t = pack(torque_a, A) if A else jnp.zeros((R, BT))
+    dyn_t = pack(dyn_g, 2 * D) if D else jnp.zeros((2 * R, BT))
 
     out = pl.pallas_call(
         kernel,
@@ -676,9 +690,9 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
             col_spec(2 * N),
             col_spec(N),
             col_spec(N),
-            col_spec(force_t.shape[0]),
-            col_spec(torque_t.shape[0]),
-            col_spec(dyn_t.shape[0]),
+            col_spec(force_t.shape[0] // R),
+            col_spec(torque_t.shape[0] // R),
+            col_spec(dyn_t.shape[0] // R),
         ],
         out_specs=[
             col_spec(2 * N),
@@ -687,17 +701,21 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
             col_spec(N),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((2 * N, B), jnp.float32),
-            jax.ShapeDtypeStruct((2 * N, B), jnp.float32),
-            jax.ShapeDtypeStruct((N, B), jnp.float32),
-            jax.ShapeDtypeStruct((N, B), jnp.float32),
+            jax.ShapeDtypeStruct((2 * N * R, BT), jnp.float32),
+            jax.ShapeDtypeStruct((2 * N * R, BT), jnp.float32),
+            jax.ShapeDtypeStruct((N * R, BT), jnp.float32),
+            jax.ShapeDtypeStruct((N * R, BT), jnp.float32),
         ],
         interpret=os.environ.get("VMT_PALLAS_INTERPRET") == "1",
     )(pos_t, vel_t, rot_t, angvel_t, force_t, torque_t, dyn_t)
-    new_pos = out[0].T.reshape(B, N, 2)
-    new_vel = out[1].T.reshape(B, N, 2)
-    new_rot = out[2].T[..., None]
-    new_angvel = out[3].T[..., None]
+
+    def unpack(x, F):
+        return x.reshape(F, B).T
+
+    new_pos = unpack(out[0], 2 * N).reshape(B, N, 2)
+    new_vel = unpack(out[1], 2 * N).reshape(B, N, 2)
+    new_rot = unpack(out[2], N)[..., None]
+    new_angvel = unpack(out[3], N)[..., None]
     return new_pos, new_vel, new_rot, new_angvel
 
 
