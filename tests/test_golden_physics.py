@@ -77,7 +77,12 @@ def test_physics_parity(cfg_name):
     # a contact the other misses by an ulp diverges discretely, and from
     # then on its whole trajectory differs from the recording.  Such envs
     # are excluded from later comparisons; at most 1/8 of envs may ever
-    # bifurcate.
+    # bifurcate.  (The physics narrowphase keeps the gather-based
+    # candidate selection precisely so this replay stays codegen-stable:
+    # the fused where-chain variant shifts last-ulp distances and flips
+    # contact sides in this deep-penetration scene — see
+    # geometry.fused_select.)
+    max_frac = 0.125
     diverged_envs = np.zeros((BATCH,), dtype=bool)
     for t in range(N_STEPS):
         state = step_jit(
@@ -101,7 +106,7 @@ def test_physics_parity(cfg_name):
                 bound = atol + 1e-3 * np.abs(target)
                 bad_env = (diff > bound).any(axis=-1)
                 diverged_envs |= bad_env
-                assert diverged_envs.mean() <= 0.125 + 1e-9, (
+                assert diverged_envs.mean() <= max_frac + 1e-9, (
                     f"{cfg_name}: {e.name}.{field} diverged at step {t}:"
                     f" {diverged_envs.sum()}/{BATCH} envs bifurcated, max"
                     f" diff {diff.max():.5f} (atol {atol:.5f})"

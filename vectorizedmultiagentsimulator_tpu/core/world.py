@@ -1145,6 +1145,14 @@ class World:
     def get_distance_from_point(
         self, entity: Entity, test_point_pos: Array, env_index: Optional[int] = None
     ):
+        with geo.fused_select():
+            return self._get_distance_from_point(
+                entity, test_point_pos, env_index
+            )
+
+    def _get_distance_from_point(
+        self, entity: Entity, test_point_pos: Array, env_index: Optional[int] = None
+    ):
         shape = entity.shape
         pos = entity.state.pos
         if isinstance(shape, shp.Sphere):
@@ -1175,6 +1183,14 @@ class World:
         return return_value
 
     def get_distance(
+        self, entity_a: Entity, entity_b: Entity, env_index: Optional[int] = None
+    ):
+        # Scenario-facing query: gather-free candidate selection (same
+        # semantics, fuses into one XLA kernel; see geometry.fused_select).
+        with geo.fused_select():
+            return self._get_distance(entity_a, entity_b, env_index)
+
+    def _get_distance(
         self, entity_a: Entity, entity_b: Entity, env_index: Optional[int] = None
     ):
         sa, sb = entity_a.shape, entity_b.shape
@@ -1248,6 +1264,12 @@ class World:
         return return_value
 
     def is_overlapping(
+        self, entity_a: Entity, entity_b: Entity, env_index: Optional[int] = None
+    ):
+        with geo.fused_select():
+            return self._is_overlapping(entity_a, entity_b, env_index)
+
+    def _is_overlapping(
         self, entity_a: Entity, entity_b: Entity, env_index: Optional[int] = None
     ):
         sa, sb = entity_a.shape, entity_b.shape

@@ -35,10 +35,50 @@ def _norm(v: Array) -> Array:
     return JaxUtils.safe_norm(v, axis=-1)
 
 
+# Two candidate-selection implementations with identical semantics but
+# different XLA codegen:
+#  - gather (argmin + take_along_axis): bit-stable across program contexts,
+#    used by the physics narrowphase so recorded reference trajectories
+#    replay exactly (deep-penetration scenes flip contact sides on last-ulp
+#    distance differences, so codegen stability matters there);
+#  - fused (unrolled where-chain): pure elementwise code XLA fuses into one
+#    kernel — no gathers — measured 4.7x on balance's step (scenario
+#    distance/overlap queries dominate its obs/reward path).
+# ``fused_select()`` switches at trace time; ``World.get_distance`` /
+# ``is_overlapping`` / ``get_distance_from_point`` opt in.
+_FUSED_SELECT = False
+
+
+class fused_select:
+    """Context manager: use the fusion-friendly (gather-free) candidate
+    selection inside scenario-facing distance queries."""
+
+    def __enter__(self):
+        global _FUSED_SELECT
+        self._prev = _FUSED_SELECT
+        _FUSED_SELECT = True
+
+    def __exit__(self, *exc):
+        global _FUSED_SELECT
+        _FUSED_SELECT = self._prev
+        return False
+
+
 def _min_select(points_a: Array, points_b: Array) -> Tuple[Array, Array]:
     """Pick, along a leading candidate axis 0, the (a, b) point pair with the
     smallest pairwise distance.  Sequential ``d < best`` semantics of the
     reference keep the *first* minimum; ``argmin`` does the same."""
+    if _FUSED_SELECT:
+        K = points_a.shape[0]
+        best_a, best_b = points_a[0], points_b[0]
+        best_d = _norm(points_a[0] - points_b[0])
+        for k in range(1, K):
+            d = _norm(points_a[k] - points_b[k])
+            better = (d < best_d)[..., None]
+            best_a = jnp.where(better, points_a[k], best_a)
+            best_b = jnp.where(better, points_b[k], best_b)
+            best_d = jnp.minimum(best_d, d)
+        return best_a, best_b
     d = _norm(points_a - points_b)  # [K, ...]
     idx = jnp.argmin(d, axis=0)  # [...]
     pa = jnp.take_along_axis(points_a, idx[None, ..., None], axis=0)[0]
@@ -189,6 +229,15 @@ def closest_point_box(
     pts = closest_point_line(
         lines_pos, lines_rot, lines_length, test_point_pos[None]
     )  # [4, ..., 2]
+    if _FUSED_SELECT:
+        best = pts[0]
+        best_d = _norm(test_point_pos - pts[0])
+        for k in range(1, pts.shape[0]):
+            d = _norm(test_point_pos - pts[k])
+            better = (d < best_d)[..., None]
+            best = jnp.where(better, pts[k], best)
+            best_d = jnp.minimum(best_d, d)
+        return best
     d = _norm(test_point_pos[None] - pts)
     idx = jnp.argmin(d, axis=0)
     return jnp.take_along_axis(pts, idx[None, ..., None], axis=0)[0]
