@@ -23,9 +23,11 @@ def pallas_interpret(monkeypatch):
 def _compare(scenario, n_steps=3, num_envs=4, **kw):
     os.environ["VMT_PALLAS_STEP"] = "0"
     os.environ["VMT_PALLAS_LIDAR"] = "0"
+    np.random.seed(0)  # some scenarios draw construction params from np RNG
     env_j = vmt.make_env(scenario, num_envs=num_envs, seed=0, **kw)
     os.environ["VMT_PALLAS_STEP"] = "1"
     os.environ["VMT_PALLAS_LIDAR"] = "1"
+    np.random.seed(0)
     env_p = vmt.make_env(scenario, num_envs=num_envs, seed=0, **kw)
     env_j.reset(seed=0)
     env_p.reset(seed=0)
@@ -125,6 +127,23 @@ def test_fused_step_partitions_under_gspmd(pallas_interpret):
     o2 = env3.step(list(acts))
     for a, b in zip(o1[0], o2[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(
+    os.environ.get("VMT_FULL_PALLAS_SWEEP") != "1",
+    reason="slow full sweep; set VMT_FULL_PALLAS_SWEEP=1 "
+    "(every fused-path scenario vs the jnp path, interpret mode)",
+)
+def test_fused_step_full_scenario_sweep(pallas_interpret):
+    from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
+    from vectorizedmultiagentsimulator_tpu.scenarios import _REGISTRY
+
+    kw = {"road_traffic": dict(n_agents=4)}
+    for name in sorted(_REGISTRY):
+        env = vmt.make_env(name, num_envs=2, seed=0, **kw.get(name, {}))
+        if not physics_pallas.step_supported(env.world):
+            continue
+        _compare(name, n_steps=2, num_envs=2, **kw.get(name, {}))
 
 
 def test_unsupported_configs_fall_back(pallas_interpret):
