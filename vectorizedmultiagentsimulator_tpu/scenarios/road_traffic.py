@@ -16,10 +16,33 @@ updates per-agent slices in place, road_traffic.py:917-1423):
  * perpendicular distances, rectangle-vs-polyline intersection tests
    (``interX``) and ego-frame transforms are computed densely over
    ``[B, n_agents, ...]``;
- * supported config: ``map_type='1'`` (the default — train on the whole
-   map) with ``n_observed_steps=1``; the initial-state-buffer map types
-   ('2'/'3') and ``is_testing_mode`` per-agent resets are data-dependent
-   python control flow in the reference and are not supported under jit.
+ * all three map types are supported.  ``map_type='2'`` records
+   challenging pre-collision states into an initial-state buffer
+   (road_traffic.py:2302-2310) and replays them at reset with
+   ``probability_use_recording``; ``map_type='3'`` trains on the
+   intersection / merge-in / merge-out sub-maps with per-env
+   ``scenario_probabilities`` and resets agents that leave through their
+   entry/exit segments (road_traffic.py:2332-2345); ``is_testing_mode``
+   resets only colliding agents instead of terminating
+   (road_traffic.py:2313-2330).
+
+Documented deviations (same distributions, jit-native form):
+ * the reference keeps ONE global 100-slot initial-state buffer shared by
+   every env and appends colliding envs sequentially
+   (road_traffic.py:852-866); here each env carries its own
+   ``initial_state_buffer_size``-slot circular buffer (batch-leading state
+   — shards over the env mesh axis with zero collectives) and its own
+   state-history ring;
+ * the reference draws ONE ``torch.rand(1)`` per reset/record decision
+   shared across envs; here the bernoulli draws are per-env;
+ * ``n_observed_steps`` is validated (1 ≤ n ≤ ``n_stored_steps``) and
+   accepted for parity: the reference stores it in ``Observations``
+   (road_traffic.py:3119) but never reads it — observations always use
+   the latest stored step (``get_latest()``), which is exactly what this
+   implementation computes;
+ * per-agent resets triggered inside ``done()`` re-sample placements with
+   bounded masked rejection (``lax.while_loop``) instead of unbounded
+   python ``while`` loops.
 """
 import math
 
@@ -37,6 +60,7 @@ from vectorizedmultiagentsimulator_tpu.utils import (
     ScenarioUtils,
     X,
     Y,
+    env_index_to_mask,
 )
 
 
@@ -233,12 +257,16 @@ class Scenario(BaseScenario):
         )
         kwargs.pop("max_ref_path_points", None)
         self.noise_level = kwargs.pop("noise_level", 0.2 * self.agent_width)
-        kwargs.pop("n_stored_steps", None)
+        n_stored_steps = kwargs.pop("n_stored_steps", 5)
         n_observed_steps = kwargs.pop("n_observed_steps", 1)
-        assert n_observed_steps == 1, (
-            "The jit-native road_traffic supports n_observed_steps=1 (the"
-            " default)."
+        assert 1 <= n_observed_steps <= n_stored_steps, (
+            "n_observed_steps must be in [1, n_stored_steps]"
         )
+        # Parity note: the reference stores n_observed_steps in its
+        # Observations container (road_traffic.py:3119) but the observation
+        # assembly only ever reads the latest stored step, so any accepted
+        # value produces the same observations.
+        self.n_observed_steps = n_observed_steps
         self.render_origin = kwargs.pop(
             "render_origin", [self.world_x_dim / 2, self.world_y_dim / 2]
         )
@@ -260,18 +288,13 @@ class Scenario(BaseScenario):
         self.is_partial_observation = kwargs.pop(
             "is_partial_observation", True
         )
-        is_testing_mode = kwargs.pop("is_testing_mode", False)
-        assert not is_testing_mode, (
-            "is_testing_mode uses data-dependent per-agent resets and is not"
-            " supported under jit."
-        )
+        self.is_testing_mode = kwargs.pop("is_testing_mode", False)
         self.is_visualize_short_term_path = kwargs.pop(
             "is_visualize_short_term_path", True
         )
-        map_type = kwargs.pop("map_type", "1")
-        assert map_type == "1", (
-            "The jit-native road_traffic supports map_type='1' (the"
-            " default); map types 2/3 rely on python-side state buffers."
+        self.map_type = kwargs.pop("map_type", "1")
+        assert self.map_type in ("1", "2", "3"), (
+            f"map_type must be one of '1'/'2'/'3', got {self.map_type!r}"
         )
         self.n_nearing_agents_observed = kwargs.pop(
             "n_nearing_agents_observed", 2
@@ -291,22 +314,58 @@ class Scenario(BaseScenario):
         self.is_observe_distance_to_center_line = kwargs.pop(
             "is_observe_distance_to_center_line", True
         )
-        kwargs.pop("scenario_probabilities", None)
+        self.scenario_probabilities = [
+            float(p)
+            for p in kwargs.pop("scenario_probabilities", [1.0, 0.0, 0.0])
+        ]
         self.is_add_noise = kwargs.pop("is_add_noise", True)
         self.is_observe_ref_path_other_agents = kwargs.pop(
             "is_observe_ref_path_other_agents", False
         )
         kwargs.pop("is_visualize_extra_info", None)
         kwargs.pop("render_title", None)
-        kwargs.pop("n_steps_stored", None)
-        kwargs.pop("n_steps_before_recording", None)
+        self.n_steps_stored = kwargs.pop("n_steps_stored", 10)
+        self.n_steps_before_recording = kwargs.pop(
+            "n_steps_before_recording", 10
+        )
         self.n_points_nearing_boundary = kwargs.pop(
             "n_points_nearing_boundary", 5
         )
         kwargs.pop("parameters", None)
         kwargs.pop("is_prb", None)
-        kwargs.pop("probability_record", None)
-        kwargs.pop("probability_use_recording", None)
+        self.probability_record = float(
+            kwargs.pop("probability_record", 1.0)
+        )
+        self.probability_use_recording = float(
+            kwargs.pop("probability_use_recording", 0.2)
+        )
+        # TPU-native deviation: per-env circular buffer (the reference
+        # shares one global 100-slot buffer across all envs,
+        # road_traffic.py:852-866).
+        self.initial_state_buffer_size = int(
+            kwargs.pop("initial_state_buffer_size", 8)
+        )
+
+        if self.map_type == "3":
+            if (
+                self.scenario_probabilities[1] != 0
+                or self.scenario_probabilities[2] != 0
+            ):
+                if self.n_agents > 5:
+                    raise ValueError(
+                        "For map_type '3', if the second or third value of"
+                        " scenario_probabilities is not zero, a maximum of 5"
+                        " agents are allowed, as only a merge-in or a"
+                        " merge-out will be used."
+                    )
+            else:
+                if self.n_agents > 10:
+                    raise ValueError(
+                        "For map_type '3', if only the first value of"
+                        " scenario_probabilities is not zero, a maximum of"
+                        " 10 agents are allowed, as only an intersection"
+                        " will be used."
+                    )
 
         if self.n_nearing_agents_observed >= self.n_agents:
             raise ValueError(
@@ -317,14 +376,42 @@ class Scenario(BaseScenario):
         map_file_path = kwargs.pop("map_file_path", None)
         ScenarioUtils.check_kwargs_consumed(kwargs)
         self.map_data = rtm.get_map_data(map_file_path)
-        paths_all, _, _, _ = rtm.get_reference_paths(self.map_data)
+        (
+            paths_all,
+            paths_intersection,
+            paths_merge_in,
+            paths_merge_out,
+        ) = rtm.get_reference_paths(self.map_data)
+        if self.map_type in ("1", "2"):
+            # scenario_id 0 = the whole map (road_traffic.py:279-292)
+            path_groups = [paths_all]
+        else:
+            # scenario_id 1/2/3 = intersection / merge-in / merge-out
+            path_groups = [
+                paths_intersection,
+                paths_merge_in,
+                paths_merge_out,
+            ]
+        paths_concat = [p for group in path_groups for p in group]
         n_extend = self.n_points_short_term * self.sample_interval_ref_path
         max_points = (
-            max(p["center_line"].shape[0] for p in paths_all) + n_extend + 2
+            max(p["center_line"].shape[0] for p in paths_concat)
+            + n_extend
+            + 2
         )
-        self.paths = rtm.PaddedPaths(paths_all, n_extend, max_points)
-        self.n_paths = len(paths_all)
+        self.paths = rtm.PaddedPaths(paths_concat, n_extend, max_points)
+        self.n_paths = len(paths_concat)
         self.max_ref_points = max_points
+        sizes = [len(g) for g in path_groups]
+        self.group_offsets = np.cumsum([0] + sizes)[:-1].astype(np.int32)
+        self.group_sizes = np.asarray(sizes, np.int32)
+        # Initial point_id range along the chosen path
+        # (road_traffic.py:1126-1134): [6, n/2) when only the whole map /
+        # intersection is in play, else [3, n-5).
+        self.point_range_open = self.map_type == "3" and (
+            self.scenario_probabilities[1] != 0
+            or self.scenario_probabilities[2] != 0
+        )
 
         # Normalizers (road_traffic.py:723-745)
         self.normalizer_pos = self.agent_length * 10
@@ -366,54 +453,231 @@ class Scenario(BaseScenario):
         return jnp.asarray(table)[self.path_id]
 
     # ------------------------------------------------------------------ #
-    def reset_world_at(self, env_index=None):
+    # State snapshots + circular buffers (map_type '2'; the reference's
+    # StateBuffer / InitialStateBuffer, road_traffic.py:3003-3086, made
+    # per-env and batch-leading)
+    # ------------------------------------------------------------------ #
+    def _current_snapshot(self):
+        """[B, A, 8] rows of [pos_x, pos_y, rot, vel_x, vel_y, scenario_id,
+        path_id, point_id] (the reference's buffer row format,
+        road_traffic.py:862-869)."""
+        pos = jnp.stack([a.state.pos for a in self.world.agents], axis=1)
+        rot = jnp.stack(
+            [a.state.rot[:, 0] for a in self.world.agents], axis=1
+        )
+        vel = jnp.stack([a.state.vel for a in self.world.agents], axis=1)
+        A = self.n_agents
+        sid = jnp.broadcast_to(
+            self.scenario_id[:, None].astype(jnp.float32), rot.shape
+        )
+        return jnp.concatenate(
+            [
+                pos,
+                rot[..., None],
+                vel,
+                sid[..., None],
+                self.path_id.astype(jnp.float32)[..., None],
+                self.point_id.astype(jnp.float32)[..., None],
+            ],
+            axis=-1,
+        )
+
+    def _hist_push(self, snap):
+        H = self.n_steps_before_recording
+        hit = jnp.arange(H)[None] == self.hist_ptr[:, None]  # [B, H]
+        self.state_hist = jnp.where(
+            hit[:, :, None, None], snap[:, None], self.state_hist
+        )
+        self.hist_ptr = (self.hist_ptr + 1) % H
+        self.hist_len = jnp.minimum(self.hist_len + 1, H)
+
+    def _hist_latest(self, n):
+        """Per-env CircularBuffer.get_latest(n) (road_traffic.py:3028-3042):
+        the state from n pushes ago, or the oldest entry when fewer than n
+        pushes happened."""
+        H = self.n_steps_before_recording
+        idx = jnp.where(n > self.hist_len, 0, (self.hist_ptr - n) % H)
+        return jnp.take_along_axis(
+            self.state_hist, idx[:, None, None, None], axis=1
+        )[:, 0]
+
+    def _hist_reset(self, env_mask):
+        """Reference state_buffer.reset() + add(current)
+        (road_traffic.py:1023-1035), masked per env."""
+        H = self.n_steps_before_recording
+        snap = self._current_snapshot()
+        B = self.world.batch_dim
+        fresh = (
+            jnp.zeros((B, H) + snap.shape[1:], jnp.float32)
+            .at[:, 0]
+            .set(snap)
+        )
+        m = env_mask
+        self.state_hist = jnp.where(
+            m[:, None, None, None], fresh, self.state_hist
+        )
+        self.hist_ptr = jnp.where(m, 1, self.hist_ptr)
+        self.hist_len = jnp.where(m, 1, self.hist_len)
+
+    def _isb_append(self, mask, snap):
+        """Append snap rows into each masked env's initial-state buffer."""
+        S = self.initial_state_buffer_size
+        hit = (jnp.arange(S)[None] == self.isb_ptr[:, None]) & mask[:, None]
+        self.isb_buf = jnp.where(
+            hit[:, :, None, None], snap[:, None], self.isb_buf
+        )
+        self.isb_ptr = jnp.where(mask, (self.isb_ptr + 1) % S, self.isb_ptr)
+        self.isb_len = jnp.where(
+            mask, jnp.minimum(self.isb_len + 1, S), self.isb_len
+        )
+
+    # ------------------------------------------------------------------ #
+    def _group_bounds(self):
+        """Per-env [lo, size) of the path-table slice the env draws its
+        paths from (map_type '3' restricts each env to one sub-map)."""
+        B = self.world.batch_dim
+        if self.map_type == "3":
+            lo = jnp.asarray(self.group_offsets)[self.scenario_id - 1]
+            size = jnp.asarray(self.group_sizes)[self.scenario_id - 1]
+            return lo, size
+        return (
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), self.n_paths, jnp.int32),
+        )
+
+    def _propose_placement(self, k, group_lo, group_size):
+        """Random (path_id, point_id, pos) per env within the env's path
+        group; point range per road_traffic.py:1126-1134."""
+        B = self.world.batch_dim
+        centers = jnp.asarray(self.paths.center)
+        n_points = jnp.asarray(self.paths.n_points)
+        k1, k2 = jax.random.split(k)
+        u_pid = jax.random.uniform(k1, (B,))
+        pid = group_lo + jnp.minimum(
+            (u_pid * group_size.astype(jnp.float32)).astype(jnp.int32),
+            group_size - 1,
+        )
+        n = n_points[pid]
+        if self.point_range_open:
+            lo = 3
+            hi = jnp.maximum(n - 5, lo + 1)
+        else:
+            lo = 6
+            hi = jnp.maximum((n / 2).astype(jnp.int32), lo + 1)
+        u = jax.random.uniform(k2, (B,))
+        point = lo + (u * (hi - lo)).astype(jnp.int32)
+        pos = centers[pid, point]
+        return pid, point, pos
+
+    def reset_world_at(self, env_index=None, agent_index=None):
+        if agent_index is not None:
+            # Reference-parity per-agent reset signature
+            # (road_traffic.py:917-922): reset one agent, keeping the
+            # other agents' states.
+            B = self.world.batch_dim
+            A = self.n_agents
+            env_mask = env_index_to_mask(env_index, B)
+            mask = jnp.zeros((B, A), bool).at[:, agent_index].set(env_mask)
+            self._reset_agents(mask)
+            return
+
         B = self.world.batch_dim
         A = self.n_agents
-        centers = jnp.asarray(self.paths.center)  # [n_paths, P, 2]
-        n_points = jnp.asarray(self.paths.n_points)  # [n_paths]
         yaw_vec = jnp.asarray(self.paths.vec_norm)  # [n_paths, P, 2]
 
-        if env_index is None and not self.world.has_extra("scenario.path_id"):
+        first = env_index is None and not self.world.has_extra(
+            "scenario.path_id"
+        )
+        if first:
             self.path_id = jnp.zeros((B, A), jnp.int32)
+            self.point_id = jnp.zeros((B, A), jnp.int32)
+            self.scenario_id = jnp.zeros((B,), jnp.int32)
+            if self.map_type == "3" or self.is_testing_mode:
+                self.collide_entry = jnp.zeros((B, A), dtype=bool)
+                self.collide_exit = jnp.zeros((B, A), dtype=bool)
+            if self.map_type == "2":
+                H = self.n_steps_before_recording
+                S = self.initial_state_buffer_size
+                self.state_hist = jnp.zeros((B, H, A, 8), jnp.float32)
+                self.hist_ptr = jnp.zeros((B,), jnp.int32)
+                self.hist_len = jnp.zeros((B,), jnp.int32)
+                self.isb_buf = jnp.zeros((B, S, A, 8), jnp.float32)
+                self.isb_ptr = jnp.zeros((B,), jnp.int32)
+                self.isb_len = jnp.zeros((B,), jnp.int32)
+
+        # Per-env sub-map choice (map_type '3', road_traffic.py:1057-1093;
+        # per-env draw instead of the reference's one draw per env loop
+        # iteration — identical distribution).
+        if self.map_type == "3":
+            probs = np.asarray(self.scenario_probabilities, np.float32)
+            sid = (
+                jax.random.categorical(
+                    self.world.next_key(),
+                    jnp.log(jnp.asarray(probs / probs.sum())),
+                    shape=(B,),
+                ).astype(jnp.int32)
+                + 1
+            )
+            if env_index is None:
+                self.scenario_id = sid
+            else:
+                self.scenario_id = JaxUtils.where_from_index(
+                    env_index, sid, self.scenario_id
+                )
+        group_lo, group_size = self._group_bounds()
+
+        # map_type '2': with probability_use_recording, replay a recorded
+        # challenging state instead of sampling fresh placements
+        # (road_traffic.py:947-967).
+        use_buffer = None
+        if self.map_type == "2" and not first:
+            k1, k2 = jax.random.split(self.world.next_key())
+            use_buffer = (
+                jax.random.uniform(k1, (B,)) < self.probability_use_recording
+            ) & (self.isb_len >= 1)
+            rec_idx = jax.random.randint(
+                k2, (B,), 0, jnp.maximum(self.isb_len, 1)
+            )
+            record = jnp.take_along_axis(
+                self.isb_buf, rec_idx[:, None, None, None], axis=1
+            )[:, 0]  # [B, A, 8]
 
         placed = jnp.full((B, A, 2), 1e6, jnp.float32)
         new_path_id = (
-            self.path_id
-            if self.world.has_extra("scenario.path_id")
-            else jnp.zeros((B, A), jnp.int32)
+            jnp.zeros((B, A), jnp.int32) if first else self.path_id
+        )
+        new_point_id = (
+            jnp.zeros((B, A), jnp.int32) if first else self.point_id
         )
         min_d2 = self.reset_agent_min_distance**2
 
         for i, agent in enumerate(self.world.agents):
             key = self.world.next_key()
 
-            def propose(k):
-                k1, k2 = jax.random.split(k)
-                pid = jax.random.randint(k1, (B,), 0, self.n_paths)
-                n = n_points[pid]
-                # point_id in [6, n/2) (road_traffic.py:1146-1152)
-                hi = jnp.maximum((n / 2).astype(jnp.int32), 7)
-                u = jax.random.uniform(k2, (B,))
-                point = 6 + (u * (hi - 6)).astype(jnp.int32)
-                pos = centers[pid, point]
-                return pid, point, pos
-
             def too_close(pos):
                 d2 = jnp.sum((placed - pos[:, None]) ** 2, axis=-1)
                 return jnp.any(d2 < min_d2, axis=-1)
 
+            live = (
+                jnp.ones((B,), bool) if use_buffer is None else ~use_buffer
+            )
+
             key, sub = jax.random.split(key)
-            pid, point, pos = propose(sub)
+            pid, point, pos = self._propose_placement(
+                sub, group_lo, group_size
+            )
 
             def cond(carry):
                 k, pid, point, pos, tries = carry
-                return jnp.any(too_close(pos)) & (tries < 100)
+                return jnp.any(too_close(pos) & live) & (tries < 100)
 
             def body(carry):
                 k, pid, point, pos, tries = carry
                 k, sub = jax.random.split(k)
-                pid2, point2, pos2 = propose(sub)
-                bad = too_close(pos)
+                pid2, point2, pos2 = self._propose_placement(
+                    sub, group_lo, group_size
+                )
+                bad = too_close(pos) & live
                 pid = jnp.where(bad, pid2, pid)
                 point = jnp.where(bad, point2, point)
                 pos = jnp.where(bad[:, None], pos2, pos)
@@ -422,27 +686,46 @@ class Scenario(BaseScenario):
             key, pid, point, pos, _ = jax.lax.while_loop(
                 cond, body, (key, pid, point, pos, jnp.int32(0))
             )
-            placed = placed.at[:, i].set(pos)
-            new_path_id = new_path_id.at[:, i].set(pid)
 
-            rot = jnp.arctan2(
-                yaw_vec[pid, point - 1, 1], yaw_vec[pid, point - 1, 0]
-            )
+            rot = jnp.arctan2(yaw_vec[pid, point, 1], yaw_vec[pid, point, 0])
             key, kv = jax.random.split(key)
             vel_abs = jax.random.uniform(kv, (B,)) * self.max_speed
             vel = jnp.stack(
                 [vel_abs * jnp.cos(rot), vel_abs * jnp.sin(rot)], axis=-1
             )
+
+            if use_buffer is not None:
+                pid = jnp.where(
+                    use_buffer, record[:, i, 6].astype(jnp.int32), pid
+                )
+                point = jnp.where(
+                    use_buffer, record[:, i, 7].astype(jnp.int32), point
+                )
+                pos = jnp.where(use_buffer[:, None], record[:, i, 0:2], pos)
+                rot = jnp.where(use_buffer, record[:, i, 2], rot)
+                vel = jnp.where(use_buffer[:, None], record[:, i, 3:5], vel)
+
+            placed = placed.at[:, i].set(pos)
+            new_path_id = new_path_id.at[:, i].set(pid)
+            new_point_id = new_point_id.at[:, i].set(point)
+
             agent.set_pos(pos, batch_index=env_index)
             agent.set_rot(rot[:, None], batch_index=env_index)
             agent.set_vel(vel, batch_index=env_index)
 
         if env_index is None:
             self.path_id = new_path_id
+            self.point_id = new_point_id
         else:
             self.path_id = JaxUtils.where_from_index(
                 env_index, new_path_id, self.path_id
             )
+            self.point_id = JaxUtils.where_from_index(
+                env_index, new_point_id, self.point_id
+            )
+
+        if self.map_type == "2":
+            self._hist_reset(env_index_to_mask(env_index, B))
 
         # Initialize derived state
         positions = jnp.stack(
@@ -476,6 +759,9 @@ class Scenario(BaseScenario):
             "collide_agents", jnp.zeros((B, A, A), dtype=bool)
         )
         init_or_mask("collide_lanelets", jnp.zeros((B, A), dtype=bool))
+        if self.map_type == "3" or self.is_testing_mode:
+            init_or_mask("collide_entry", jnp.zeros((B, A), dtype=bool))
+            init_or_mask("collide_exit", jnp.zeros((B, A), dtype=bool))
         init_or_mask(
             "steering_hist", jnp.zeros((B, A, 2), jnp.float32)
         )
@@ -599,6 +885,27 @@ class Scenario(BaseScenario):
                 lane_hits.append(hit_l | hit_r)
             self.collide_lanelets = jnp.stack(lane_hits, axis=1)
 
+            # Entry/exit-segment crossings for non-loop paths
+            # (road_traffic.py:1631-1641; loops never have them, so the
+            # computation is statically skipped when every path loops).
+            if (self.map_type == "3" or self.is_testing_mode) and not all(
+                self.paths.is_loop
+            ):
+                entry = self._gather(self.paths.entry)  # [B, A, 2, 2]
+                exit_ = self._gather(self.paths.exit)
+                is_loop = self._gather(self.paths.is_loop)  # [B, A]
+                entry_hits = []
+                exit_hits = []
+                for i in range(A):
+                    entry_hits.append(
+                        segments_intersect(vertices[:, i], entry[:, i])
+                    )
+                    exit_hits.append(
+                        segments_intersect(vertices[:, i], exit_[:, i])
+                    )
+                self.collide_entry = jnp.stack(entry_hits, axis=1) & ~is_loop
+                self.collide_exit = jnp.stack(exit_hits, axis=1) & ~is_loop
+
         rew = jnp.zeros((B,), jnp.float32)
 
         # [reward] forward movement along the (previous) short-term path
@@ -681,6 +988,13 @@ class Scenario(BaseScenario):
             * self.penalty_collide_with_boundaries
         )
 
+        # [reward] reaching the goal (exit segment of a non-loop path,
+        # road_traffic.py:1488-1493)
+        if self.map_type == "3" or self.is_testing_mode:
+            rew = rew + (
+                self.collide_exit[:, agent_index] * self.reward_reach_goal
+            )
+
         # [reward/penalty] time
         rew = rew + (
             jnp.where(v_proj > 0, 1.0, -1.0)
@@ -695,6 +1009,9 @@ class Scenario(BaseScenario):
                 [a.state.pos for a in self.world.agents], axis=1
             )
             self.short_term = self._new_short_term
+            if self.map_type == "2":
+                # Per-step state history push (road_traffic.py:1718-1730)
+                self._hist_push(self._current_snapshot())
         return rew
 
     _new_short_term = None
@@ -876,11 +1193,168 @@ class Scenario(BaseScenario):
         return obs
 
     def done(self):
+        B = self.world.batch_dim
         is_collision_with_agents = jnp.any(
-            self.collide_agents.reshape(self.world.batch_dim, -1), axis=-1
+            self.collide_agents.reshape(B, -1), axis=-1
         )
         is_collision_with_lanelets = jnp.any(self.collide_lanelets, axis=-1)
-        return is_collision_with_agents | is_collision_with_lanelets
+
+        if self.map_type == "2":
+            # Record the state from n_steps_stored steps before an
+            # agent-agent collision into the initial-state buffer
+            # (road_traffic.py:2302-2310); per-env bernoulli draw instead
+            # of the reference's single shared draw.
+            do_record = (
+                jax.random.uniform(self.world.next_key(), (B,))
+                < self.probability_record
+            ) & is_collision_with_agents
+            self._isb_append(
+                do_record, self._hist_latest(self.n_steps_stored)
+            )
+
+        if self.is_testing_mode:
+            # Testing mode: collisions never terminate; only the colliding
+            # agents are re-placed (road_traffic.py:2313-2330).
+            agents_reset = (
+                jnp.any(self.collide_agents, axis=-1) | self.collide_lanelets
+            )
+            if not all(self.paths.is_loop):
+                agents_reset = (
+                    agents_reset | self.collide_entry | self.collide_exit
+                )
+            self._reset_agents(agents_reset)
+            return jnp.zeros((B,), dtype=bool)
+
+        done = is_collision_with_agents | is_collision_with_lanelets
+        if self.map_type == "3":
+            # Agents leaving through their entry/exit segments are
+            # re-placed unless the whole env terminates
+            # (road_traffic.py:2332-2345).
+            agents_reset = (
+                self.collide_entry | self.collide_exit
+            ) & ~done[:, None]
+            self._reset_agents(agents_reset)
+        return done
+
+    def _reset_agents(self, mask):
+        """Masked per-(env, agent) re-placement — the jit-native form of the
+        reference's ``reset_world_at(env_index, agent_index)`` python loop
+        (road_traffic.py:917-1035 with ``is_reset_single_agent=True``).
+
+        ``mask [B, A]``: True where agent a of env b is re-placed.  New
+        placements keep the env's current sub-map (scenario_id), re-sample
+        a path/point, and rejection-test against ALL agents' current
+        positions (bounded ``lax.while_loop``).
+        """
+        B = self.world.batch_dim
+        A = self.n_agents
+        yaw_vec = jnp.asarray(self.paths.vec_norm)
+        min_d2 = self.reset_agent_min_distance**2
+        group_lo, group_size = self._group_bounds()
+
+        positions = jnp.stack(
+            [a.state.pos for a in self.world.agents], axis=1
+        )
+        new_path_id = self.path_id
+        new_point_id = self.point_id
+
+        for i, agent in enumerate(self.world.agents):
+            m = mask[:, i]
+            key = self.world.next_key()
+
+            def too_close(pos):
+                d2 = jnp.sum((positions - pos[:, None]) ** 2, axis=-1)
+                d2 = d2.at[:, i].set(jnp.inf)
+                return jnp.any(d2 < min_d2, axis=-1)
+
+            key, sub = jax.random.split(key)
+            pid, point, pos = self._propose_placement(
+                sub, group_lo, group_size
+            )
+
+            def cond(carry):
+                k, pid, point, pos, tries = carry
+                return jnp.any(too_close(pos) & m) & (tries < 100)
+
+            def body(carry):
+                k, pid, point, pos, tries = carry
+                k, sub = jax.random.split(k)
+                pid2, point2, pos2 = self._propose_placement(
+                    sub, group_lo, group_size
+                )
+                bad = too_close(pos) & m
+                pid = jnp.where(bad, pid2, pid)
+                point = jnp.where(bad, point2, point)
+                pos = jnp.where(bad[:, None], pos2, pos)
+                return k, pid, point, pos, tries + 1
+
+            key, pid, point, pos, _ = jax.lax.while_loop(
+                cond, body, (key, pid, point, pos, jnp.int32(0))
+            )
+
+            rot = jnp.arctan2(yaw_vec[pid, point, 1], yaw_vec[pid, point, 0])
+            key, kv = jax.random.split(key)
+            vel_abs = jax.random.uniform(kv, (B,)) * self.max_speed
+            vel = jnp.stack(
+                [vel_abs * jnp.cos(rot), vel_abs * jnp.sin(rot)], axis=-1
+            )
+
+            new_pos = jnp.where(m[:, None], pos, agent.state.pos)
+            new_rot = jnp.where(m[:, None], rot[:, None], agent.state.rot)
+            new_vel = jnp.where(m[:, None], vel, agent.state.vel)
+            agent.set_pos(new_pos)
+            agent.set_rot(new_rot)
+            agent.set_vel(new_vel)
+            positions = positions.at[:, i].set(new_pos)
+            new_path_id = new_path_id.at[:, i].set(
+                jnp.where(m, pid, new_path_id[:, i])
+            )
+            new_point_id = new_point_id.at[:, i].set(
+                jnp.where(m, point, new_point_id[:, i])
+            )
+
+        self.path_id = new_path_id
+        self.point_id = new_point_id
+
+        # Refresh derived per-env buffers for envs with any re-placed agent
+        # (the reference's reset_init_distances_and_short_term_ref_path +
+        # mutual-distance/collision-flag refresh, road_traffic.py:1002-1020).
+        env_m = jnp.any(mask, axis=-1)
+        rotations = jnp.stack(
+            [a.state.rot[:, 0] for a in self.world.agents], axis=1
+        )
+        short_term, dists = self._compute_geometry(positions, rotations)
+
+        def mask_update(name, value):
+            old = getattr(self, name)
+            mexp = env_m.reshape((B,) + (1,) * (value.ndim - 1))
+            setattr(self, name, jnp.where(mexp, value, old))
+
+        mask_update("short_term", short_term)
+        mask_update("distances_agents", self._mutual_distances(positions))
+        mask_update("distances_ref", dists["ref"])
+        mask_update("distances_left_b", dists["left_all"])
+        mask_update("distances_right_b", dists["right_all"])
+        mask_update("distances_boundaries", dists["boundaries"])
+        # The reference's state_buffer reset also refreshes the "previous"
+        # positions used by the progress reward, so a teleport never counts
+        # as progress.
+        mask_update("prev_pos", positions)
+        self.collide_agents = jnp.where(
+            env_m[:, None, None], False, self.collide_agents
+        )
+        self.collide_lanelets = jnp.where(
+            env_m[:, None], False, self.collide_lanelets
+        )
+        if self.map_type == "3" or self.is_testing_mode:
+            self.collide_entry = jnp.where(
+                env_m[:, None], False, self.collide_entry
+            )
+            self.collide_exit = jnp.where(
+                env_m[:, None], False, self.collide_exit
+            )
+        if self.map_type == "2":
+            self._hist_reset(env_m)
 
     def info(self, agent):
         agent_index = self.world.agents.index(agent)
