@@ -102,6 +102,7 @@ class Environment:
 
         # rendering
         self.viewer = None
+        self.text_lines = None
         self.headless = None
         self.visible_display = None
 
@@ -647,6 +648,8 @@ class Environment:
 
         if self.viewer is None:
             self.viewer = Viewer(*self.scenario.viewer_size)
+            self._init_text_lines()
+        self._set_agent_comm_messages(env_index)
 
         if self.scenario.viewer_zoom <= 0:
             raise ValueError("Scenario viewer zoom must be > 0")
@@ -727,6 +730,40 @@ class Environment:
         for entity in self.world.entities:
             self.viewer.add_onetime_list(entity.render(env_index=env_index))
         return self.viewer.render(return_rgb_array=mode == "rgb_array")
+
+    def _init_text_lines(self):
+        """One screen-space text line per speaking agent for comm-message
+        overlays (reference environment.py:1023-1031)."""
+        from vectorizedmultiagentsimulator_tpu.render import TextLine
+
+        self.text_lines = []
+        if self.world.dim_c > 0:
+            idx = 0
+            for agent in self.world.agents:
+                if not agent.silent:
+                    text_line = TextLine(y=idx * 40)
+                    self.viewer.geoms.append(text_line)
+                    self.text_lines.append(text_line)
+                    idx += 1
+
+    def _set_agent_comm_messages(self, env_index: int):
+        """Render comm utterances as text (reference
+        environment.py:1033-1055)."""
+        if self.world.dim_c == 0 or not self.text_lines:
+            return
+        from vectorizedmultiagentsimulator_tpu.utils import ALPHABET
+
+        idx = 0
+        for agent in self.world.agents:
+            if agent.silent:
+                continue
+            c = np.asarray(agent.state.c)[env_index]
+            if self.continuous_actions:
+                word = "[" + ",".join(f"{comm:.2f}" for comm in c) + "]"
+            else:
+                word = ALPHABET[int(np.argmax(c))]
+            self.text_lines[idx].set_text(f"{agent.name} sends {word}   ")
+            idx += 1
 
     def _plot_grid(self):
         """Background grid (reference rendering.py Grid, environment.py

@@ -14,6 +14,7 @@ from vectorizedmultiagentsimulator_tpu.render.rasterizer import (
     Line,
     Polygon,
     Segment,
+    TextLine,
     Transform,
     Viewer,
     entity_geoms,
@@ -33,6 +34,7 @@ __all__ = [
     "Line",
     "Polygon",
     "Segment",
+    "TextLine",
     "Transform",
     "Viewer",
     "entity_geoms",

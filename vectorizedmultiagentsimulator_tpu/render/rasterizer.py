@@ -95,6 +95,93 @@ class Image(Geom):
     y_range: Tuple[float, float] = (-1, 1)
 
 
+# Classic 5x7 column-major bitmap font (bit 0 = top row); enough glyphs
+# for the comm-message / interactive-play overlays.  Unknown characters
+# render as blanks; lowercase maps to uppercase.
+_FONT_5X7 = {
+    " ": (0x00, 0x00, 0x00, 0x00, 0x00),
+    "0": (0x3E, 0x51, 0x49, 0x45, 0x3E),
+    "1": (0x00, 0x42, 0x7F, 0x40, 0x00),
+    "2": (0x42, 0x61, 0x51, 0x49, 0x46),
+    "3": (0x21, 0x41, 0x45, 0x4B, 0x31),
+    "4": (0x18, 0x14, 0x12, 0x7F, 0x10),
+    "5": (0x27, 0x45, 0x45, 0x45, 0x39),
+    "6": (0x3C, 0x4A, 0x49, 0x49, 0x30),
+    "7": (0x01, 0x71, 0x09, 0x05, 0x03),
+    "8": (0x36, 0x49, 0x49, 0x49, 0x36),
+    "9": (0x06, 0x49, 0x49, 0x29, 0x1E),
+    "A": (0x7E, 0x11, 0x11, 0x11, 0x7E),
+    "B": (0x7F, 0x49, 0x49, 0x49, 0x36),
+    "C": (0x3E, 0x41, 0x41, 0x41, 0x22),
+    "D": (0x7F, 0x41, 0x41, 0x22, 0x1C),
+    "E": (0x7F, 0x49, 0x49, 0x49, 0x41),
+    "F": (0x7F, 0x09, 0x09, 0x09, 0x01),
+    "G": (0x3E, 0x41, 0x49, 0x49, 0x7A),
+    "H": (0x7F, 0x08, 0x08, 0x08, 0x7F),
+    "I": (0x00, 0x41, 0x7F, 0x41, 0x00),
+    "J": (0x20, 0x40, 0x41, 0x3F, 0x01),
+    "K": (0x7F, 0x08, 0x14, 0x22, 0x41),
+    "L": (0x7F, 0x40, 0x40, 0x40, 0x40),
+    "M": (0x7F, 0x02, 0x0C, 0x02, 0x7F),
+    "N": (0x7F, 0x04, 0x08, 0x10, 0x7F),
+    "O": (0x3E, 0x41, 0x41, 0x41, 0x3E),
+    "P": (0x7F, 0x09, 0x09, 0x09, 0x06),
+    "Q": (0x3E, 0x41, 0x51, 0x21, 0x5E),
+    "R": (0x7F, 0x09, 0x19, 0x29, 0x46),
+    "S": (0x46, 0x49, 0x49, 0x49, 0x31),
+    "T": (0x01, 0x01, 0x7F, 0x01, 0x01),
+    "U": (0x3F, 0x40, 0x40, 0x40, 0x3F),
+    "V": (0x1F, 0x20, 0x40, 0x20, 0x1F),
+    "W": (0x3F, 0x40, 0x38, 0x40, 0x3F),
+    "X": (0x63, 0x14, 0x08, 0x14, 0x63),
+    "Y": (0x07, 0x08, 0x70, 0x08, 0x07),
+    "Z": (0x61, 0x51, 0x49, 0x45, 0x43),
+    "[": (0x00, 0x7F, 0x41, 0x41, 0x00),
+    "]": (0x00, 0x41, 0x41, 0x7F, 0x00),
+    "(": (0x00, 0x1C, 0x22, 0x41, 0x00),
+    ")": (0x00, 0x41, 0x22, 0x1C, 0x00),
+    ",": (0x00, 0x50, 0x30, 0x00, 0x00),
+    ".": (0x00, 0x60, 0x60, 0x00, 0x00),
+    "-": (0x08, 0x08, 0x08, 0x08, 0x08),
+    "_": (0x40, 0x40, 0x40, 0x40, 0x40),
+    ":": (0x00, 0x36, 0x36, 0x00, 0x00),
+    ";": (0x00, 0x56, 0x36, 0x00, 0x00),
+    "=": (0x14, 0x14, 0x14, 0x14, 0x14),
+    "+": (0x08, 0x08, 0x3E, 0x08, 0x08),
+    "/": (0x20, 0x10, 0x08, 0x04, 0x02),
+    "'": (0x00, 0x05, 0x03, 0x00, 0x00),
+    "<": (0x08, 0x14, 0x22, 0x41, 0x00),
+    ">": (0x00, 0x41, 0x22, 0x14, 0x08),
+}
+
+
+class TextLine(Geom):
+    """Screen-space text overlay (reference ``rendering.TextLine``,
+    rendering.py:277-313, pyglet Label → dependency-free bitmap font).
+
+    ``x``/``y`` are pixel coordinates from the bottom-left corner, like
+    the reference's pyglet label placement.
+    """
+
+    def __init__(self, text: str = "", font_size: int = 15,
+                 x: float = 0.0, y: float = 0.0):
+        super().__init__()
+        self.text = str(text)
+        self.font_size = int(font_size)
+        self.x = float(x)
+        self.y = float(y)
+        self.set_color(0.0, 0.0, 0.0)
+
+    def set_text(self, text: str, font_size: Optional[int] = None):
+        self.text = str(text)
+        if font_size is not None:
+            self.font_size = int(font_size)
+        return self
+
+    def render(self):  # reference API no-op (drawing happens in Viewer)
+        return self
+
+
 def _rot(points: np.ndarray, angle: float) -> np.ndarray:
     c, s = math.cos(angle), math.sin(angle)
     return points @ np.array([[c, s], [-s, c]], dtype=np.float64).T
@@ -212,6 +299,42 @@ class Viewer:
             self._blend(canvas, mask, geom.color, geom.alpha)
         elif isinstance(geom, Image) and geom.data is not None:
             self._draw_image(canvas, geom)
+        elif isinstance(geom, TextLine):
+            self._draw_text(canvas, geom)
+
+    def _draw_text(self, canvas, geom: "TextLine"):
+        if not geom.text:
+            return
+        scale = max(1, round(geom.font_size / 8))
+        glyph_w, glyph_h = 6 * scale, 7 * scale
+        # pyglet anchors at bottom-left with y up; canvas rows go top-down
+        x0 = int(round(geom.x))
+        y0 = self.height - int(round(geom.y)) - glyph_h
+        for ci, ch in enumerate(geom.text):
+            cols = _FONT_5X7.get(ch.upper() if ch.islower() else ch)
+            if cols is None:
+                continue
+            cx = x0 + ci * glyph_w
+            if cx >= self.width or cx + 5 * scale < 0:
+                continue
+            glyph = np.zeros((7, 5), dtype=bool)
+            for col, bits in enumerate(cols):
+                for row in range(7):
+                    if bits >> row & 1:
+                        glyph[row, col] = True
+            glyph = np.kron(glyph, np.ones((scale, scale), dtype=bool))
+            gy0 = max(y0, 0)
+            gx0 = max(cx, 0)
+            gy1 = min(y0 + glyph_h, self.height)
+            gx1 = min(cx + 5 * scale, self.width)
+            if gy1 <= gy0 or gx1 <= gx0:
+                continue
+            sub = glyph[gy0 - y0 : gy1 - y0, gx0 - cx : gx1 - cx]
+            region = canvas[gy0:gy1, gx0:gx1]
+            c = np.asarray(geom.color, dtype=np.float32)
+            region[sub] = (
+                region[sub] * (1 - geom.alpha) + c[None, :] * geom.alpha
+            )
 
     def _draw_image(self, canvas, geom: "Image"):
         xmin, xmax, ymin, ymax = self.bounds

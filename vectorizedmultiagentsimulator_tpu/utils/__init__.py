@@ -67,6 +67,14 @@ def override(cls):
     return check_override
 
 
+class Observer:
+    """Observer ABC (reference utils.py:95-103): subscribers to an
+    :class:`Observable` implement ``notify``."""
+
+    def notify(self, observable, *args, **kwargs):
+        raise NotImplementedError
+
+
 class Observable:
     """Tiny observer registry used by joints to track entity pose writes
     (reference utils.py:85-103).  Purely trace-time bookkeeping."""
