@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import vectorizedmultiagentsimulator_tpu as vmt
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 30_000))
-N_STEPS = int(os.environ.get("BENCH_STEPS", 100))
+# 1000 steps per scan: the remote-TPU tunnel adds a fixed ~30 ms to every
+# program invocation; at 100 steps that overhead inflates the per-step
+# time ~2.5x (measured: transport@30k profiles at 193 us/step on-device
+# while a 100-step scan reports ~470 us/step wall).  1000 steps amortizes
+# it to <10%.
+N_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 REFERENCE_EPS = 296_000.0  # simple_spread 30k envs on RTX 2080 Ti
 
 

@@ -143,7 +143,8 @@ class Action:
 
     @property
     def u(self) -> Array:
-        return self._world.state.u[self._agent.agent_index]
+        idx = self._agent.agent_index
+        return self._world.state.u[:, idx, : self._world._u_widths[idx]]
 
     @u.setter
     def u(self, value: Array):

@@ -15,7 +15,12 @@ to mirror ``World.entities`` in the reference core.py:1220-1222):
   rot      [B, N, 1]   ang_vel [B, N, 1]
   force    [B, A, 2]   torque  [B, A, 1]   (agent action force/torque)
   c        [B, A, C]   comm state          (C = dim_c, 0-width allowed)
-  u        tuple of [B, a_i] per-agent physical actions (ragged sizes)
+  u        [B, A, U]   physical actions, U = max agent action_size
+           (ragged sizes are right-padded; views slice [:, i, :a_i].
+           One stacked array instead of a per-agent tuple: XLA lays out
+           [B, A, U] with the batch on the 128-lane dimension, while
+           per-agent [B, 2] arrays got batch-on-sublanes layouts whose
+           loop-carry copies alone cost ~94 us/step at 30k envs)
   action_c [B, A, C]   comm actions
   extras   dict[str, Array]  scenario/dynamics/controller buffers
   key      PRNG key    steps  [B] int32
@@ -65,7 +70,9 @@ class WorldState:
             force=jnp.zeros((B, A, 2), dtype),
             torque=jnp.zeros((B, A, 1), dtype),
             c=jnp.zeros((B, A, dim_c), dtype),
-            u=tuple(jnp.zeros((B, a), dtype) for a in action_sizes),
+            u=jnp.zeros(
+                (B, A, max(action_sizes) if action_sizes else 0), dtype
+            ),
             action_c=jnp.zeros((B, A, dim_c), dtype),
             extras={},
             key=key,

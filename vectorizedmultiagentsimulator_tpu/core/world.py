@@ -308,11 +308,20 @@ class World:
 
         if key is None:
             key = jax.random.PRNGKey(0)
+        # Per-agent u capacity: scenarios may write a u wider than
+        # action_size as long as the dynamics model consumes it
+        # (e.g. debug/drone prepends a thrust column; the reference only
+        # checks width >= dynamics.needed_action_size, common.py:38-44).
+        self._u_widths = [a.action_size for a in self._agents]
+        u_caps = [
+            max(a.action_size, a.dynamics.needed_action_size)
+            for a in self._agents
+        ]
         self._state = WorldState.zeros(
             self._batch_dim,
             N,
             A,
-            [a.action_size for a in self._agents],
+            u_caps,
             self._dim_c,
             key,
         )
@@ -489,9 +498,19 @@ class World:
         )
 
     def _set_action_u(self, agent_idx: int, value):
-        u = list(self._state.u)
-        u[agent_idx] = jnp.asarray(value, dtype=u[agent_idx].dtype)
-        self._state = self._state.replace(u=tuple(u))
+        value = jnp.asarray(value, dtype=self._state.u.dtype)
+        w = value.shape[1]
+        u = self._state.u
+        if w > u.shape[2]:
+            # Rare fallback for writes beyond the preallocated capacity:
+            # widen the stacked storage (changes the pytree leaf shape —
+            # one retrace, exactly like the previous per-agent tuple form).
+            u = jnp.concatenate(
+                [u, jnp.zeros(u.shape[:2] + (w - u.shape[2],), u.dtype)],
+                axis=2,
+            )
+        self._u_widths[agent_idx] = w
+        self._state = self._state.replace(u=u.at[:, agent_idx, :w].set(value))
 
     def _masked_entity_write(self, field: str, idx: int, value, batch_index):
         """Reference ``set_pos``-style write (core.py:733-761): None index
@@ -529,10 +548,7 @@ class World:
                 action_c=s.action_c.at[:, j].set(
                     jnp.where(m2, 0.0, s.action_c[:, j])
                 ),
-                u=tuple(
-                    jnp.where(m2, 0.0, uu) if k == j else uu
-                    for k, uu in enumerate(s.u)
-                ),
+                u=s.u.at[:, j].set(jnp.where(m2, 0.0, s.u[:, j])),
             )
         self._state = s.replace(**updates)
         if isinstance(entity, Agent):
@@ -552,7 +568,7 @@ class World:
             torque=jnp.where(m, 0.0, s.torque),
             c=jnp.where(m, 0.0, s.c),
             action_c=jnp.where(m, 0.0, s.action_c),
-            u=tuple(jnp.where(mask[:, None], 0.0, uu) for uu in s.u),
+            u=jnp.where(m, 0.0, s.u),
         )
         for agent in self._agents:
             agent.dynamics.reset(env_index)

@@ -219,25 +219,61 @@ def all_lines_box(
     return pos, rot, length
 
 
+def box_side_list(
+    box_pos: Array, box_rot: Array, box_width, box_length
+):
+    """The 4 sides of a box as a python list of (pos, rot, length).
+
+    Same order/math as :func:`all_lines_box` but WITHOUT the stacked
+    leading axis: every array keeps the caller's batch shape, which XLA
+    tiles with the batch on the 128-lane dimension and fuses into one
+    kernel.  The ``[4, B, ...]`` stack instead forces 1-sublane
+    ``T(1,128)`` tiles (measured 46 us/step of the transport@30k reward
+    path before this form existed).
+    """
+    box_width = jnp.broadcast_to(jnp.asarray(box_width, box_pos.dtype), box_rot.shape)
+    box_length = jnp.broadcast_to(
+        jnp.asarray(box_length, box_pos.dtype), box_rot.shape
+    )
+    heading = jnp.stack([jnp.cos(box_rot), jnp.sin(box_rot)], axis=-1)
+    perp_rot = box_rot + jnp.pi / 2
+    perp = jnp.stack([jnp.cos(perp_rot), jnp.sin(perp_rot)], axis=-1)
+    half_l = (box_length / 2)[..., None]
+    half_w = (box_width / 2)[..., None]
+    return [
+        (box_pos + heading * half_l, perp_rot, box_width),
+        (box_pos - heading * half_l, perp_rot, box_width),
+        (box_pos + perp * half_w, box_rot, box_length),
+        (box_pos - perp * half_w, box_rot, box_length),
+    ]
+
+
 def closest_point_box(
     box_pos: Array, box_rot: Array, box_width, box_length, test_point_pos: Array
 ) -> Array:
     """Closest point on a box's perimeter to a test point."""
+    if _FUSED_SELECT:
+        # Unstacked fold over the 4 sides: identical first-minimum
+        # semantics, but all intermediates stay batch-shaped.
+        best = best_d = None
+        for lp, lr, ll in box_side_list(
+            box_pos, box_rot, box_width, box_length
+        ):
+            pt = closest_point_line(lp, lr, ll, test_point_pos)
+            d = _norm(test_point_pos - pt)
+            if best is None:
+                best, best_d = pt, d
+            else:
+                better = (d < best_d)[..., None]
+                best = jnp.where(better, pt, best)
+                best_d = jnp.minimum(best_d, d)
+        return best
     lines_pos, lines_rot, lines_length = all_lines_box(
         box_pos, box_rot, box_width, box_length
     )
     pts = closest_point_line(
         lines_pos, lines_rot, lines_length, test_point_pos[None]
     )  # [4, ..., 2]
-    if _FUSED_SELECT:
-        best = pts[0]
-        best_d = _norm(test_point_pos - pts[0])
-        for k in range(1, pts.shape[0]):
-            d = _norm(test_point_pos - pts[k])
-            better = (d < best_d)[..., None]
-            best = jnp.where(better, pts[k], best)
-            best_d = jnp.minimum(best_d, d)
-        return best
     d = _norm(test_point_pos[None] - pts)
     idx = jnp.argmin(d, axis=0)
     return jnp.take_along_axis(pts, idx[None, ..., None], axis=0)[0]
@@ -253,11 +289,28 @@ def closest_line_box(
     line_length,
 ) -> Tuple[Array, Array]:
     """Closest (box point, line point) pair between a box and a segment."""
-    lines_pos, lines_rot, lines_length = all_lines_box(
-        box_pos, box_rot, box_width, box_length
-    )
     line_length = jnp.broadcast_to(
         jnp.asarray(line_length, box_pos.dtype), line_rot.shape
+    )
+    if _FUSED_SELECT:
+        best_a = best_b = best_d = None
+        for lp, lr, ll in box_side_list(
+            box_pos, box_rot, box_width, box_length
+        ):
+            pa, pb = closest_points_line_line(
+                lp, lr, ll, line_pos, line_rot, line_length
+            )
+            d = _norm(pa - pb)
+            if best_a is None:
+                best_a, best_b, best_d = pa, pb, d
+            else:
+                better = (d < best_d)[..., None]
+                best_a = jnp.where(better, pa, best_a)
+                best_b = jnp.where(better, pb, best_b)
+                best_d = jnp.minimum(best_d, d)
+        return best_a, best_b
+    lines_pos, lines_rot, lines_length = all_lines_box(
+        box_pos, box_rot, box_width, box_length
     )
     ps_box, ps_line = closest_points_line_line(
         lines_pos,
@@ -297,6 +350,34 @@ def closest_box_box(
     box2_length = jnp.broadcast_to(
         jnp.asarray(box2_length, box_pos.dtype), box2_rot.shape
     )
+
+    if _FUSED_SELECT:
+        # Unstacked 8-candidate fold (same order as the stacked form:
+        # box1's 4 sides vs box2, then box2's 4 sides vs box1).
+        candidates = []
+        for lp, lr, ll in box_side_list(
+            box_pos, box_rot, box_width, box_length
+        ):
+            pt_t, pt_l = closest_line_box(
+                box2_pos, box2_rot, box2_width, box2_length, lp, lr, ll
+            )
+            candidates.append((pt_l, pt_t))  # (on box1, on box2)
+        for lp, lr, ll in box_side_list(
+            box2_pos, box2_rot, box2_width, box2_length
+        ):
+            pt_t, pt_l = closest_line_box(
+                box_pos, box_rot, box_width, box_length, lp, lr, ll
+            )
+            candidates.append((pt_t, pt_l))
+        best_a, best_b = candidates[0]
+        best_d = _norm(best_a - best_b)
+        for pa, pb in candidates[1:]:
+            d = _norm(pa - pb)
+            better = (d < best_d)[..., None]
+            best_a = jnp.where(better, pa, best_a)
+            best_b = jnp.where(better, pb, best_b)
+            best_d = jnp.minimum(best_d, d)
+        return best_a, best_b
 
     lines_a_pos, lines_a_rot, lines_a_len = all_lines_box(
         box_pos, box_rot, box_width, box_length
