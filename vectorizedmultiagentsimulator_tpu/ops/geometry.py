@@ -97,15 +97,24 @@ def closest_point_line(
 
     ``line_rot`` / ``line_length`` have shape ``[...]`` (no trailing 1).
     """
+    # Scalar-component form: every intermediate keeps the batch shape
+    # (1-D [B] arrays tile T(1024) — full vregs; the stacked
+    # direction/delta [.., 2] intermediates materialized as [B, 1]
+    # columns with 1-sublane T(1,128) tiles at fusion boundaries).
     line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
-    direction = jnp.stack([jnp.cos(line_rot), jnp.sin(line_rot)], axis=-1)
-    delta_pos = line_pos - test_point_pos
-    dot_p = jnp.sum(delta_pos * direction, axis=-1)
+    c = jnp.cos(line_rot)
+    s = jnp.sin(line_rot)
+    dx = line_pos[..., 0] - test_point_pos[..., 0]
+    dy = line_pos[..., 1] - test_point_pos[..., 1]
+    dot_p = dx * c + dy * s
     sign = jnp.sign(dot_p)
     dist_from_center = jnp.abs(dot_p)
     if limit_to_line_length:
         dist_from_center = jnp.minimum(dist_from_center, line_length / 2)
-    return line_pos - (sign * dist_from_center)[..., None] * direction
+    sd = sign * dist_from_center
+    return jnp.stack(
+        [line_pos[..., 0] - sd * c, line_pos[..., 1] - sd * s], axis=-1
+    )
 
 
 def line_extrema(line_pos: Array, line_rot: Array, line_length) -> Tuple[Array, Array]:
@@ -163,25 +172,56 @@ def closest_points_line_line(
 
     point_i, d_i = intersection_line_line(point_a1, point_a2, point_b1, point_b2)
 
-    # Project each endpoint of one segment onto the other segment: stack the
-    # four independent sub-problems on a fresh leading axis.
-    proj_pos = jnp.stack([line2_pos, line2_pos, line_pos, line_pos], axis=0)
-    proj_rot = jnp.stack([line2_rot, line2_rot, line_rot, line_rot], axis=0)
-    proj_len = jnp.stack(
-        [line2_length, line2_length, line_length, line_length], axis=0
-    )
-    proj_pts = jnp.stack([point_a1, point_a2, point_b1, point_b2], axis=0)
-    projected = closest_point_line(proj_pos, proj_rot, proj_len, proj_pts)
-    a1_on_b, a2_on_b, b1_on_a, b2_on_a = (
-        projected[0],
-        projected[1],
-        projected[2],
-        projected[3],
-    )
+    if _FUSED_SELECT:
+        # Unstacked: project the four endpoints individually and fold the
+        # first-minimum — same order/semantics as the stacked _min_select
+        # below, but every intermediate keeps the batch shape.
+        a1_on_b = closest_point_line(
+            line2_pos, line2_rot, line2_length, point_a1
+        )
+        a2_on_b = closest_point_line(
+            line2_pos, line2_rot, line2_length, point_a2
+        )
+        b1_on_a = closest_point_line(
+            line_pos, line_rot, line_length, point_b1
+        )
+        b2_on_a = closest_point_line(
+            line_pos, line_rot, line_length, point_b2
+        )
+        pairs = [
+            (point_a1, a1_on_b),
+            (point_a2, a2_on_b),
+            (b1_on_a, point_b1),
+            (b2_on_a, point_b2),
+        ]
+        closest_1, closest_2 = pairs[0]
+        best_d = _norm(closest_1 - closest_2)
+        for pa, pb in pairs[1:]:
+            d = _norm(pa - pb)
+            better = (d < best_d)[..., None]
+            closest_1 = jnp.where(better, pa, closest_1)
+            closest_2 = jnp.where(better, pb, closest_2)
+            best_d = jnp.minimum(best_d, d)
+    else:
+        # Project each endpoint of one segment onto the other segment:
+        # stack the four independent sub-problems on a fresh leading axis.
+        proj_pos = jnp.stack([line2_pos, line2_pos, line_pos, line_pos], axis=0)
+        proj_rot = jnp.stack([line2_rot, line2_rot, line_rot, line_rot], axis=0)
+        proj_len = jnp.stack(
+            [line2_length, line2_length, line_length, line_length], axis=0
+        )
+        proj_pts = jnp.stack([point_a1, point_a2, point_b1, point_b2], axis=0)
+        projected = closest_point_line(proj_pos, proj_rot, proj_len, proj_pts)
+        a1_on_b, a2_on_b, b1_on_a, b2_on_a = (
+            projected[0],
+            projected[1],
+            projected[2],
+            projected[3],
+        )
 
-    candidates_1 = jnp.stack([point_a1, point_a2, b1_on_a, b2_on_a], axis=0)
-    candidates_2 = jnp.stack([a1_on_b, a2_on_b, point_b1, point_b2], axis=0)
-    closest_1, closest_2 = _min_select(candidates_1, candidates_2)
+        candidates_1 = jnp.stack([point_a1, point_a2, b1_on_a, b2_on_a], axis=0)
+        candidates_2 = jnp.stack([a1_on_b, a2_on_b, point_b1, point_b2], axis=0)
+        closest_1, closest_2 = _min_select(candidates_1, candidates_2)
 
     crossing = (d_i == 0)[..., None]
     closest_1 = jnp.where(crossing, point_i, closest_1)
@@ -235,16 +275,24 @@ def box_side_list(
     box_length = jnp.broadcast_to(
         jnp.asarray(box_length, box_pos.dtype), box_rot.shape
     )
-    heading = jnp.stack([jnp.cos(box_rot), jnp.sin(box_rot)], axis=-1)
+    c = jnp.cos(box_rot)
+    s = jnp.sin(box_rot)
     perp_rot = box_rot + jnp.pi / 2
-    perp = jnp.stack([jnp.cos(perp_rot), jnp.sin(perp_rot)], axis=-1)
-    half_l = (box_length / 2)[..., None]
-    half_w = (box_width / 2)[..., None]
+    pc = jnp.cos(perp_rot)
+    ps = jnp.sin(perp_rot)
+    half_l = box_length / 2
+    half_w = box_width / 2
+    px = box_pos[..., 0]
+    py = box_pos[..., 1]
+
+    def _pt(dx, dy):
+        return jnp.stack([px + dx, py + dy], axis=-1)
+
     return [
-        (box_pos + heading * half_l, perp_rot, box_width),
-        (box_pos - heading * half_l, perp_rot, box_width),
-        (box_pos + perp * half_w, box_rot, box_length),
-        (box_pos - perp * half_w, box_rot, box_length),
+        (_pt(c * half_l, s * half_l), perp_rot, box_width),
+        (_pt(-(c * half_l), -(s * half_l)), perp_rot, box_width),
+        (_pt(pc * half_w, ps * half_w), box_rot, box_length),
+        (_pt(-(pc * half_w), -(ps * half_w)), box_rot, box_length),
     ]
 
 

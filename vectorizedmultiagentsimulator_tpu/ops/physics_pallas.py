@@ -671,8 +671,13 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
         )
 
     def pack(x, F):
-        # [B, F] -> [F, B] -> [F*R, B/R]  (row f*R+s, col l = env s*BT+l)
-        return x.reshape(B, F).T.reshape(F * R, BT)
+        # [B, ...] -> [..., B] -> [F, B] -> [F*R, B/R]
+        # (row f*R+s, col l = env s*BT+l).  Transpose-FIRST: the state
+        # arrays live batch-minor ({0,2,1} layouts) inside the step, so
+        # moveaxis(0, -1) is a near-bitcast and XLA only pays the
+        # T(2,128)->T(8,128) retile instead of a full relayout.
+        t = jnp.moveaxis(x, 0, -1).reshape(F, B)
+        return t.reshape(F * R, BT)
 
     pos_t = pack(pos, 2 * N)
     vel_t = pack(vel, 2 * N)
@@ -709,13 +714,16 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
         interpret=os.environ.get("VMT_PALLAS_INTERPRET") == "1",
     )(pos_t, vel_t, rot_t, angvel_t, force_t, torque_t, dyn_t)
 
-    def unpack(x, F):
-        return x.reshape(F, B).T
+    def unpack(x, shape):
+        # [F*R, BT] -> [*shape, B] -> [B, *shape] (bitcast to the
+        # batch-minor layout + retile, mirror of pack above)
+        t = x.reshape(shape + (B,))
+        return jnp.moveaxis(t, -1, 0)
 
-    new_pos = unpack(out[0], 2 * N).reshape(B, N, 2)
-    new_vel = unpack(out[1], 2 * N).reshape(B, N, 2)
-    new_rot = unpack(out[2], N)[..., None]
-    new_angvel = unpack(out[3], N)[..., None]
+    new_pos = unpack(out[0], (N, 2))
+    new_vel = unpack(out[1], (N, 2))
+    new_rot = unpack(out[2], (N, 1))
+    new_angvel = unpack(out[3], (N, 1))
     return new_pos, new_vel, new_rot, new_angvel
 
 
