@@ -97,24 +97,18 @@ def closest_point_line(
 
     ``line_rot`` / ``line_length`` have shape ``[...]`` (no trailing 1).
     """
-    # Scalar-component form: every intermediate keeps the batch shape
-    # (1-D [B] arrays tile T(1024) — full vregs; the stacked
-    # direction/delta [.., 2] intermediates materialized as [B, 1]
-    # columns with 1-sublane T(1,128) tiles at fusion boundaries).
+    # Stacked [..., 2] form: measured faster than a per-component scalar
+    # rewrite on real TPU (transport@30k A/B: 309M vs 218-240M eps — the
+    # scalar form fragments XLA's fusions at the final stack).
     line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
-    c = jnp.cos(line_rot)
-    s = jnp.sin(line_rot)
-    dx = line_pos[..., 0] - test_point_pos[..., 0]
-    dy = line_pos[..., 1] - test_point_pos[..., 1]
-    dot_p = dx * c + dy * s
+    direction = jnp.stack([jnp.cos(line_rot), jnp.sin(line_rot)], axis=-1)
+    delta_pos = line_pos - test_point_pos
+    dot_p = jnp.sum(delta_pos * direction, axis=-1)
     sign = jnp.sign(dot_p)
     dist_from_center = jnp.abs(dot_p)
     if limit_to_line_length:
         dist_from_center = jnp.minimum(dist_from_center, line_length / 2)
-    sd = sign * dist_from_center
-    return jnp.stack(
-        [line_pos[..., 0] - sd * c, line_pos[..., 1] - sd * s], axis=-1
-    )
+    return line_pos - (sign * dist_from_center)[..., None] * direction
 
 
 def line_extrema(line_pos: Array, line_rot: Array, line_length) -> Tuple[Array, Array]:
@@ -275,24 +269,16 @@ def box_side_list(
     box_length = jnp.broadcast_to(
         jnp.asarray(box_length, box_pos.dtype), box_rot.shape
     )
-    c = jnp.cos(box_rot)
-    s = jnp.sin(box_rot)
+    heading = jnp.stack([jnp.cos(box_rot), jnp.sin(box_rot)], axis=-1)
     perp_rot = box_rot + jnp.pi / 2
-    pc = jnp.cos(perp_rot)
-    ps = jnp.sin(perp_rot)
-    half_l = box_length / 2
-    half_w = box_width / 2
-    px = box_pos[..., 0]
-    py = box_pos[..., 1]
-
-    def _pt(dx, dy):
-        return jnp.stack([px + dx, py + dy], axis=-1)
-
+    perp = jnp.stack([jnp.cos(perp_rot), jnp.sin(perp_rot)], axis=-1)
+    half_l = (box_length / 2)[..., None]
+    half_w = (box_width / 2)[..., None]
     return [
-        (_pt(c * half_l, s * half_l), perp_rot, box_width),
-        (_pt(-(c * half_l), -(s * half_l)), perp_rot, box_width),
-        (_pt(pc * half_w, ps * half_w), box_rot, box_length),
-        (_pt(-(pc * half_w), -(ps * half_w)), box_rot, box_length),
+        (box_pos + heading * half_l, perp_rot, box_width),
+        (box_pos - heading * half_l, perp_rot, box_width),
+        (box_pos + perp * half_w, box_rot, box_length),
+        (box_pos - perp * half_w, box_rot, box_length),
     ]
 
 
