@@ -67,7 +67,14 @@ def main():
             }
             print(json.dumps(row), flush=True)
             rows.append(row)
-            del env
+            # Release this config's device buffers before the next one:
+            # stale 30k-env states from prior iterations can push a later
+            # config into a silent async failure on remote devices.
+            env._state = None
+            del env, result
+            import gc
+
+            gc.collect()
         except Exception as e:  # noqa: BLE001
             print(
                 json.dumps(

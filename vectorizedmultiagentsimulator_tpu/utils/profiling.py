@@ -62,7 +62,24 @@ def benchmark_step(
         state, sink = rollout(state)
         jax.block_until_ready(sink)
         times.append(time.perf_counter() - t0)
+    # Validate by fetching the sink values: a failed async execution can
+    # make block_until_ready return immediately without surfacing the
+    # error (seen with remote-device plugins under memory pressure) —
+    # the host transfer re-raises it and the finite check catches NaNs.
+    import numpy as np
+
+    sink_host = np.asarray(sink)
+    if not np.isfinite(sink_host).all():
+        raise FloatingPointError(
+            "benchmark_step: non-finite values in rollout outputs"
+        )
     best = min(times)
+    if best * 1e3 < 1.0 and n_steps * env.num_envs > 1_000_000:
+        raise RuntimeError(
+            f"benchmark_step: implausible wall time {best:.6f}s for "
+            f"{n_steps} steps x {env.num_envs} envs — execution likely "
+            "failed asynchronously; re-run this config in a fresh process"
+        )
     eps = n_steps * env.num_envs / best
     return {
         "wall_s": best,
