@@ -204,38 +204,23 @@ class Scenario(BaseScenario):
 
         if is_last:
             if self.targets_respawn:
-                occupied_positions_agents = [self._agents_pos]
+                # All covered targets replaced in ONE batched spawner call
+                # (single while_loop; uncovered targets keep their position
+                # and still block the new placements) — the reference's
+                # per-target rejection loops serialized 7 while_loops per
+                # step and dominated the whole scenario's step time.
+                new_pos = ScenarioUtils.find_random_positions_for_entities(
+                    self._agents_pos,
+                    len(self._targets),
+                    self.world,
+                    self._min_dist_between_entities,
+                    (-self.world.x_semidim, self.world.x_semidim),
+                    (-self.world.y_semidim, self.world.y_semidim),
+                    current_positions=self._targets_pos,
+                    replace_mask=self.covered_targets,
+                )
                 for i, target in enumerate(self._targets):
-                    occupied_positions_targets = [
-                        o.state.pos[:, None]
-                        for o in self._targets
-                        if o is not target
-                    ]
-                    occupied_positions = jnp.concatenate(
-                        occupied_positions_agents + occupied_positions_targets,
-                        axis=1,
-                    )
-                    pos = ScenarioUtils.find_random_pos_for_entity(
-                        occupied_positions,
-                        env_index=None,
-                        world=self.world,
-                        min_dist_between_entities=self._min_dist_between_entities,
-                        x_bounds=(
-                            -self.world.x_semidim,
-                            self.world.x_semidim,
-                        ),
-                        y_bounds=(
-                            -self.world.y_semidim,
-                            self.world.y_semidim,
-                        ),
-                    )
-                    target.set_pos(
-                        jnp.where(
-                            self.covered_targets[:, i][:, None],
-                            pos[:, 0],
-                            target.state.pos,
-                        )
-                    )
+                    target.set_pos(new_pos[:, i])
             else:
                 self.all_time_covered_targets = (
                     self.all_time_covered_targets | self.covered_targets

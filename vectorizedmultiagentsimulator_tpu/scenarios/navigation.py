@@ -138,20 +138,17 @@ class Scenario(BaseScenario):
         occupied_positions = jnp.stack(
             [agent.state.pos for agent in self.world.agents], axis=1
         )
-        goal_poses = []
-        for _ in self.world.agents:
-            position = ScenarioUtils.find_random_pos_for_entity(
-                occupied_positions=occupied_positions,
-                env_index=env_index,
-                world=self.world,
-                min_dist_between_entities=self.min_distance_between_entities,
-                x_bounds=(-self.world_spawning_x, self.world_spawning_x),
-                y_bounds=(-self.world_spawning_y, self.world_spawning_y),
-            )
-            goal_poses.append(position.squeeze(1))
-            occupied_positions = jnp.concatenate(
-                [occupied_positions, position], axis=1
-            )
+        goal_positions = ScenarioUtils.find_random_positions_for_entities(
+            occupied_positions,
+            len(self.world.agents),
+            self.world,
+            self.min_distance_between_entities,
+            (-self.world_spawning_x, self.world_spawning_x),
+            (-self.world_spawning_y, self.world_spawning_y),
+        )
+        goal_poses = [
+            goal_positions[:, i] for i in range(len(self.world.agents))
+        ]
 
         for i, agent in enumerate(self.world.agents):
             if self.split_goals:

@@ -181,6 +181,7 @@ class ScenarioUtils:
     statically-bounded resampling compatible with jit tracing."""
 
     MAX_SPAWN_TRIES = 1000
+    SPAWN_PROPOSALS_PER_ROUND = 16
 
     @staticmethod
     def spawn_entities_randomly(
@@ -203,18 +204,17 @@ class ScenarioUtils:
         if occupied_positions is None:
             occupied_positions = jnp.zeros((batch_dim, 0, world.dim_p))
 
-        for entity in entities:
-            pos = ScenarioUtils.find_random_pos_for_entity(
-                occupied_positions,
-                env_index,
-                world,
-                min_dist_between_entities,
-                x_bounds,
-                y_bounds,
-                disable_warn,
-            )
-            occupied_positions = jnp.concatenate([occupied_positions, pos], axis=1)
-            entity.set_pos(pos.squeeze(1), batch_index=env_index)
+        entities = list(entities)
+        new_pos = ScenarioUtils.find_random_positions_for_entities(
+            occupied_positions,
+            len(entities),
+            world,
+            min_dist_between_entities,
+            x_bounds,
+            y_bounds,
+        )
+        for i, entity in enumerate(entities):
+            entity.set_pos(new_pos[:, i], batch_index=env_index)
 
     @staticmethod
     def find_random_pos_for_entity(
@@ -226,40 +226,124 @@ class ScenarioUtils:
         y_bounds: Tuple[float, float],
         disable_warn: bool = False,
     ) -> Array:
+        """Single new position ``[B, 1, 2]`` clear of ``occupied_positions``
+        (reference utils.py:271-319)."""
+        return ScenarioUtils.find_random_positions_for_entities(
+            occupied_positions,
+            1,
+            world,
+            min_dist_between_entities,
+            x_bounds,
+            y_bounds,
+        )
+
+    @staticmethod
+    def find_random_positions_for_entities(
+        occupied_positions: Array,
+        n_new: int,
+        world,
+        min_dist_between_entities: float,
+        x_bounds: Tuple[float, float],
+        y_bounds: Tuple[float, float],
+        current_positions: Optional[Array] = None,
+        replace_mask: Optional[Array] = None,
+    ) -> Array:
+        """Place ``n_new`` entities at once: ``[B, n_new, 2]`` positions,
+        each ``>= min_dist`` from ``occupied_positions`` [B, O, 2] and from
+        one another.
+
+        One ``lax.while_loop`` places *all* entities (the reference runs a
+        python rejection loop per entity, utils.py:241-319): each round
+        draws ``K`` iid proposals per entity and keeps, per entity, the
+        first proposal clear of the occupied set, entities placed earlier
+        in the fold, and — when ``current_positions`` is given — the
+        not-yet-replaced entities' current positions.  Identical
+        distribution to sequential rejection sampling (iid draws, first
+        valid kept); after ``MAX_SPAWN_TRIES`` draws the last proposal is
+        accepted (the reference warns at 50k tries and keeps looping).
+
+        ``current_positions``/``replace_mask`` serve per-step respawns
+        (e.g. discovery target coverage): rows where ``replace_mask`` is
+        False keep their current position and still block others.
+        """
         batch_dim = occupied_positions.shape[0]
+        M = int(n_new)
+        O = occupied_positions.shape[1]
         lo = jnp.asarray([x_bounds[0], y_bounds[0]], dtype=jnp.float32)
         hi = jnp.asarray([x_bounds[1], y_bounds[1]], dtype=jnp.float32)
-
-        def propose(key):
-            return jax.random.uniform(
-                key, (batch_dim, 1, 2), minval=lo, maxval=hi
-            )
+        K = ScenarioUtils.SPAWN_PROPOSALS_PER_ROUND
+        has_current = current_positions is not None
+        min_d = min_dist_between_entities
 
         key = world.next_key()
-        key, sub = jax.random.split(key)
-        pos = propose(sub)
-        if occupied_positions.shape[1] == 0:
-            return pos
+        if has_current:
+            eff0 = jnp.asarray(current_positions, jnp.float32)
+            ok0 = (
+                ~jnp.asarray(replace_mask, bool)
+                if replace_mask is not None
+                else jnp.zeros((batch_dim, M), bool)
+            )
+        else:
+            eff0 = jnp.zeros((batch_dim, M, 2), jnp.float32)
+            ok0 = jnp.zeros((batch_dim, M), bool)
 
-        def overlaps_of(pos):
-            dist = jnp.linalg.norm(occupied_positions - pos, axis=-1)
-            return jnp.any(dist < min_dist_between_entities, axis=1)  # [B]
+        def round_(carry):
+            key, eff, ok, tries = carry
+            key, sub = jax.random.split(key)
+            cands = jax.random.uniform(
+                sub, (batch_dim, M, K, 2), minval=lo, maxval=hi
+            )
+            new_eff, new_ok = eff, ok
+            for i in range(M):
+                cand = cands[:, i]  # [B, K, 2]
+                if O:
+                    d_occ = jnp.linalg.norm(
+                        occupied_positions[:, None] - cand[:, :, None],
+                        axis=-1,
+                    )  # [B, K, O]
+                    valid = jnp.all(d_occ >= min_d, axis=-1)  # [B, K]
+                else:
+                    valid = jnp.ones((batch_dim, K), bool)
+                for j in range(M):
+                    if j == i:
+                        continue
+                    # entities earlier in this round's fold see the round's
+                    # updates; later ones their pre-round positions
+                    src_eff, src_ok = (
+                        (new_eff, new_ok) if j < i else (eff, ok)
+                    )
+                    # present: already placed, or holding a current position
+                    present = (
+                        jnp.ones((batch_dim,), bool)
+                        if has_current
+                        else src_ok[:, j]
+                    )
+                    d_j = jnp.linalg.norm(
+                        src_eff[:, j][:, None] - cand, axis=-1
+                    )  # [B, K]
+                    valid = valid & ((d_j >= min_d) | ~present[:, None])
+                chosen = cand[:, 0]
+                found = valid[:, 0]
+                for k in range(1, K):
+                    take = (~found) & valid[:, k]
+                    chosen = jnp.where(take[:, None], cand[:, k], chosen)
+                    found = found | valid[:, k]
+                chosen = jnp.where(found[:, None], chosen, cand[:, -1])
+                upd = ~new_ok[:, i]
+                new_eff = new_eff.at[:, i].set(
+                    jnp.where(upd[:, None], chosen, new_eff[:, i])
+                )
+                new_ok = new_ok.at[:, i].set(new_ok[:, i] | found)
+            return key, new_eff, new_ok, tries + K
 
         def cond(carry):
-            _, pos, tries = carry
-            return jnp.any(overlaps_of(pos)) & (
-                tries < ScenarioUtils.MAX_SPAWN_TRIES
-            )
+            _, _, ok, tries = carry
+            return jnp.any(~ok) & (tries < ScenarioUtils.MAX_SPAWN_TRIES)
 
-        def body(carry):
-            key, pos, tries = carry
-            key, sub = jax.random.split(key)
-            proposed = propose(sub)
-            pos = jnp.where(overlaps_of(pos)[:, None, None], proposed, pos)
-            return key, pos, tries + 1
-
-        _, pos, _ = jax.lax.while_loop(cond, body, (key, pos, jnp.int32(0)))
-        return pos
+        _, eff, _, _ = jax.lax.while_loop(
+            cond, round_, (key, eff0, ok0, jnp.int32(0))
+        )
+        return eff
 
     @staticmethod
     def plot_entity_rotation(entity, env_index: int, length: float = 0.15):
