@@ -1543,10 +1543,18 @@ class AgentPolicy:
         values = values.at[:, 0].add(
             self.replan_margin + 3 * (1 - self.decision_strength)
         )
-        highest_value = jnp.argmax(values, axis=1)
-        best_pos = jnp.take_along_axis(
-            test_pos, highest_value[:, None, None], axis=1
-        )[:, 0]
+        # First-max where-fold instead of argmax + take_along_axis: the
+        # gather materialized [B, S, 2] in a T(8,128) relayout and cost
+        # ~95us + a 32us copy per agent per step at B=30k (profiled: 40%
+        # of the whole football step across the 5 AI agents); the
+        # elementwise fold fuses into the value computation.  Ties keep
+        # the first candidate, same as argmax.
+        best_pos = test_pos[:, 0]
+        best_val = values[:, 0]
+        for k in range(1, test_pos.shape[1]):
+            better = (values[:, k] > best_val)[:, None]
+            best_pos = jnp.where(better, test_pos[:, k], best_pos)
+            best_val = jnp.maximum(best_val, values[:, k])
         return best_pos
 
     def get_pos_value(self, pos, agent):
