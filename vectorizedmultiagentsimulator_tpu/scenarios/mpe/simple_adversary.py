@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from vectorizedmultiagentsimulator_tpu.core import Agent, Landmark, Sphere, World
 from vectorizedmultiagentsimulator_tpu.scenario import BaseScenario
-from vectorizedmultiagentsimulator_tpu.utils import Color, ScenarioUtils
+from vectorizedmultiagentsimulator_tpu.utils import JaxUtils, Color, ScenarioUtils
 
 
 class Scenario(BaseScenario):
@@ -58,10 +58,7 @@ class Scenario(BaseScenario):
         landmark_pos = jnp.stack(
             [l.state.pos for l in self.world.landmarks], axis=1
         )  # [B, L, 2]
-        idx = self.goal_index  # [B]
-        return jnp.take_along_axis(
-            landmark_pos, idx[:, None, None].repeat(2, axis=-1), axis=1
-        )[:, 0]
+        return JaxUtils.select_by_index(landmark_pos, self.goal_index)
 
     def reset_world_at(self, env_index=None):
         if env_index is None:

@@ -16,7 +16,7 @@ import numpy as np
 
 from vectorizedmultiagentsimulator_tpu.core import Agent, Landmark, World
 from vectorizedmultiagentsimulator_tpu.scenario import BaseScenario
-from vectorizedmultiagentsimulator_tpu.utils import ScenarioUtils
+from vectorizedmultiagentsimulator_tpu.utils import JaxUtils, ScenarioUtils
 
 _LANDMARK_COLORS = np.asarray(
     [[0.75, 0.25, 0.25], [0.25, 0.75, 0.25], [0.25, 0.25, 0.75]], np.float32
@@ -46,9 +46,7 @@ class Scenario(BaseScenario):
 
     def _goal_pos(self, agent_idx: int):
         idx = self.goal_index_0 if agent_idx == 0 else self.goal_index_1
-        return jnp.take_along_axis(
-            self._landmark_pos(), idx[:, None, None].repeat(2, axis=-1), axis=1
-        )[:, 0]
+        return JaxUtils.select_by_index(self._landmark_pos(), idx)
 
     def reset_world_at(self, env_index=None):
         if env_index is None:

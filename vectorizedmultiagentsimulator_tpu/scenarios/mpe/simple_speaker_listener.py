@@ -14,7 +14,7 @@ import numpy as np
 
 from vectorizedmultiagentsimulator_tpu.core import Agent, Landmark, Sphere, World
 from vectorizedmultiagentsimulator_tpu.scenario import BaseScenario
-from vectorizedmultiagentsimulator_tpu.utils import ScenarioUtils
+from vectorizedmultiagentsimulator_tpu.utils import JaxUtils, ScenarioUtils
 
 _LANDMARK_COLORS = np.asarray(
     [[0.65, 0.15, 0.15], [0.15, 0.65, 0.15], [0.15, 0.15, 0.65]], np.float32
@@ -51,11 +51,7 @@ class Scenario(BaseScenario):
         landmark_pos = jnp.stack(
             [l.state.pos for l in self.world.landmarks], axis=1
         )
-        return jnp.take_along_axis(
-            landmark_pos,
-            self.goal_index[:, None, None].repeat(2, axis=-1),
-            axis=1,
-        )[:, 0]
+        return JaxUtils.select_by_index(landmark_pos, self.goal_index)
 
     def reset_world_at(self, env_index=None):
         if env_index is None:

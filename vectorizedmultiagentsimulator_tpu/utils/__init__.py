@@ -152,6 +152,23 @@ class JaxUtils:
         raise NotImplementedError(f"Invalid type of data {data}")
 
     @staticmethod
+    def select_by_index(stacked: Array, idx: Array) -> Array:
+        """``stacked[b, idx[b]]`` for ``stacked [B, K, ...]``, ``idx [B]``,
+        as an unrolled where-fold over the (small, static) K axis.
+
+        On TPU this fuses into neighbouring elementwise work, where the
+        equivalent ``take_along_axis`` compiles to a gather that forces a
+        relayout of the stacked operand (profiled at ~95us + a 32us copy
+        per call at B=30k in football's policy before the same rewrite).
+        """
+        out = stacked[:, 0]
+        extra = (1,) * (stacked.ndim - 2)
+        for k in range(1, stacked.shape[1]):
+            sel = (idx == k).reshape(idx.shape[0], *extra)
+            out = jnp.where(sel, stacked[:, k], out)
+        return out
+
+    @staticmethod
     def where_from_index(env_index, new_value, old_value: Array) -> Array:
         """Masked single-env overwrite (reference utils.py:233).
 
