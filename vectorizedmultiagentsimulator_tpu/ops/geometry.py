@@ -22,7 +22,7 @@ Reference parity notes (file:line cite into /root/reference):
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -92,16 +92,21 @@ def closest_point_line(
     line_length,
     test_point_pos: Array,
     limit_to_line_length: bool = True,
+    direction: Optional[Array] = None,
 ) -> Array:
     """Closest point on a segment (or infinite line) to a test point.
 
     ``line_rot`` / ``line_length`` have shape ``[...]`` (no trailing 1).
+    ``direction`` optionally supplies the precomputed unit direction
+    ``[..., 2]`` (box queries derive all four side directions from one
+    cos/sin pair — transcendentals are the costly part of this kernel).
     """
     # Stacked [..., 2] form: measured faster than a per-component scalar
     # rewrite on real TPU (transport@30k A/B: 309M vs 218-240M eps — the
     # scalar form fragments XLA's fusions at the final stack).
     line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
-    direction = jnp.stack([jnp.cos(line_rot), jnp.sin(line_rot)], axis=-1)
+    if direction is None:
+        direction = jnp.stack([jnp.cos(line_rot), jnp.sin(line_rot)], axis=-1)
     delta_pos = line_pos - test_point_pos
     dot_p = jnp.sum(delta_pos * direction, axis=-1)
     sign = jnp.sign(dot_p)
@@ -111,10 +116,17 @@ def closest_point_line(
     return line_pos - (sign * dist_from_center)[..., None] * direction
 
 
-def line_extrema(line_pos: Array, line_rot: Array, line_length) -> Tuple[Array, Array]:
+def line_extrema(
+    line_pos: Array,
+    line_rot: Array,
+    line_length,
+    direction: Optional[Array] = None,
+) -> Tuple[Array, Array]:
     line_length = jnp.asarray(line_length, dtype=line_pos.dtype)
     half = line_length / 2
-    xy = jnp.stack([half * jnp.cos(line_rot), half * jnp.sin(line_rot)], axis=-1)
+    if direction is None:
+        direction = jnp.stack([jnp.cos(line_rot), jnp.sin(line_rot)], axis=-1)
+    xy = half[..., None] * direction
     return line_pos + xy, line_pos - xy
 
 
@@ -146,8 +158,14 @@ def closest_points_line_line(
     line2_pos: Array,
     line2_rot: Array,
     line2_length,
+    direction: Optional[Array] = None,
+    direction2: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
-    """Closest point pair between two segments."""
+    """Closest point pair between two segments.
+
+    ``direction``/``direction2`` optionally supply precomputed unit
+    directions for the two segments (see :func:`closest_point_line`).
+    """
     # Broadcast both segments to a common batch shape so the fixed 4-way
     # candidate stacking below is well-formed.
     batch_shape = jnp.broadcast_shapes(line_rot.shape, line2_rot.shape)
@@ -161,8 +179,16 @@ def closest_points_line_line(
     line2_length = jnp.broadcast_to(
         jnp.asarray(line2_length, dtype=line_pos.dtype), batch_shape
     )
-    point_a1, point_a2 = line_extrema(line_pos, line_rot, line_length)
-    point_b1, point_b2 = line_extrema(line2_pos, line2_rot, line2_length)
+    if direction is not None:
+        direction = jnp.broadcast_to(direction, batch_shape + (2,))
+    if direction2 is not None:
+        direction2 = jnp.broadcast_to(direction2, batch_shape + (2,))
+    point_a1, point_a2 = line_extrema(
+        line_pos, line_rot, line_length, direction=direction
+    )
+    point_b1, point_b2 = line_extrema(
+        line2_pos, line2_rot, line2_length, direction=direction2
+    )
 
     point_i, d_i = intersection_line_line(point_a1, point_a2, point_b1, point_b2)
 
@@ -171,16 +197,16 @@ def closest_points_line_line(
         # first-minimum — same order/semantics as the stacked _min_select
         # below, but every intermediate keeps the batch shape.
         a1_on_b = closest_point_line(
-            line2_pos, line2_rot, line2_length, point_a1
+            line2_pos, line2_rot, line2_length, point_a1, direction=direction2
         )
         a2_on_b = closest_point_line(
-            line2_pos, line2_rot, line2_length, point_a2
+            line2_pos, line2_rot, line2_length, point_a2, direction=direction2
         )
         b1_on_a = closest_point_line(
-            line_pos, line_rot, line_length, point_b1
+            line_pos, line_rot, line_length, point_b1, direction=direction
         )
         b2_on_a = closest_point_line(
-            line_pos, line_rot, line_length, point_b2
+            line_pos, line_rot, line_length, point_b2, direction=direction
         )
         pairs = [
             (point_a1, a1_on_b),
@@ -256,7 +282,7 @@ def all_lines_box(
 def box_side_list(
     box_pos: Array, box_rot: Array, box_width, box_length
 ):
-    """The 4 sides of a box as a python list of (pos, rot, length).
+    """The 4 sides of a box as a python list of (pos, rot, length, dir).
 
     Same order/math as :func:`all_lines_box` but WITHOUT the stacked
     leading axis: every array keeps the caller's batch shape, which XLA
@@ -269,16 +295,23 @@ def box_side_list(
     box_length = jnp.broadcast_to(
         jnp.asarray(box_length, box_pos.dtype), box_rot.shape
     )
-    heading = jnp.stack([jnp.cos(box_rot), jnp.sin(box_rot)], axis=-1)
+    c = jnp.cos(box_rot)
+    s = jnp.sin(box_rot)
+    heading = jnp.stack([c, s], axis=-1)
     perp_rot = box_rot + jnp.pi / 2
-    perp = jnp.stack([jnp.cos(perp_rot), jnp.sin(perp_rot)], axis=-1)
+    # cos(r + pi/2) = -sin(r), sin(r + pi/2) = cos(r): the box costs ONE
+    # cos/sin pair instead of two (transcendentals dominate; profiled
+    # 12.5us/step of transport@30k in a 1-sublane trig fusion).
+    perp = jnp.stack([-s, c], axis=-1)
     half_l = (box_length / 2)[..., None]
     half_w = (box_width / 2)[..., None]
+    # (pos, rot, length, unit direction) per side — the direction is
+    # threaded into the line kernels so no side recomputes trig.
     return [
-        (box_pos + heading * half_l, perp_rot, box_width),
-        (box_pos - heading * half_l, perp_rot, box_width),
-        (box_pos + perp * half_w, box_rot, box_length),
-        (box_pos - perp * half_w, box_rot, box_length),
+        (box_pos + heading * half_l, perp_rot, box_width, perp),
+        (box_pos - heading * half_l, perp_rot, box_width, perp),
+        (box_pos + perp * half_w, box_rot, box_length, heading),
+        (box_pos - perp * half_w, box_rot, box_length, heading),
     ]
 
 
@@ -290,10 +323,10 @@ def closest_point_box(
         # Unstacked fold over the 4 sides: identical first-minimum
         # semantics, but all intermediates stay batch-shaped.
         best = best_d = None
-        for lp, lr, ll in box_side_list(
+        for lp, lr, ll, ld in box_side_list(
             box_pos, box_rot, box_width, box_length
         ):
-            pt = closest_point_line(lp, lr, ll, test_point_pos)
+            pt = closest_point_line(lp, lr, ll, test_point_pos, direction=ld)
             d = _norm(test_point_pos - pt)
             if best is None:
                 best, best_d = pt, d
@@ -321,6 +354,7 @@ def closest_line_box(
     line_pos: Array,
     line_rot: Array,
     line_length,
+    line_direction: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Closest (box point, line point) pair between a box and a segment."""
     line_length = jnp.broadcast_to(
@@ -328,11 +362,12 @@ def closest_line_box(
     )
     if _FUSED_SELECT:
         best_a = best_b = best_d = None
-        for lp, lr, ll in box_side_list(
+        for lp, lr, ll, ld in box_side_list(
             box_pos, box_rot, box_width, box_length
         ):
             pa, pb = closest_points_line_line(
-                lp, lr, ll, line_pos, line_rot, line_length
+                lp, lr, ll, line_pos, line_rot, line_length,
+                direction=ld, direction2=line_direction,
             )
             d = _norm(pa - pb)
             if best_a is None:
@@ -389,18 +424,20 @@ def closest_box_box(
         # Unstacked 8-candidate fold (same order as the stacked form:
         # box1's 4 sides vs box2, then box2's 4 sides vs box1).
         candidates = []
-        for lp, lr, ll in box_side_list(
+        for lp, lr, ll, ld in box_side_list(
             box_pos, box_rot, box_width, box_length
         ):
             pt_t, pt_l = closest_line_box(
-                box2_pos, box2_rot, box2_width, box2_length, lp, lr, ll
+                box2_pos, box2_rot, box2_width, box2_length, lp, lr, ll,
+                line_direction=ld,
             )
             candidates.append((pt_l, pt_t))  # (on box1, on box2)
-        for lp, lr, ll in box_side_list(
+        for lp, lr, ll, ld in box_side_list(
             box2_pos, box2_rot, box2_width, box2_length
         ):
             pt_t, pt_l = closest_line_box(
-                box_pos, box_rot, box_width, box_length, lp, lr, ll
+                box_pos, box_rot, box_width, box_length, lp, lr, ll,
+                line_direction=ld,
             )
             candidates.append((pt_t, pt_l))
         best_a, best_b = candidates[0]
