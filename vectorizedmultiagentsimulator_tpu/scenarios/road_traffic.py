@@ -84,15 +84,21 @@ def get_rectangle_vertices(center, yaw, width, length, is_close_shape=True):
 def get_perpendicular_distances(point, polyline, n_points):
     """point [..., 2], polyline [..., P, 2], n_points [...] ->
     (min distance [...], index of closest point + 1 [...])."""
-    line_starts = polyline[..., :-1, :]
-    line_vecs = polyline[..., 1:, :] - line_starts
-    point_vecs = point[..., None, :] - line_starts
-    line_lens_sq = jnp.sum(line_vecs**2, axis=-1) + 1e-8
-    t = jnp.clip(
-        jnp.sum(point_vecs * line_vecs, axis=-1) / line_lens_sq, 0.0, 1.0
-    )
-    closest = line_starts + line_vecs * t[..., None]
-    d = jnp.linalg.norm(closest - point[..., None, :], axis=-1)  # [..., P-1]
+    # Component-split internally: the [..., P, 2] polylines carry a
+    # 2-element minor dim that tiles T(2,128) (1/4 vreg utilization);
+    # computing on X/Y [..., P-1] arrays keeps the long P axis minor
+    # (T(8,128)) through the whole pipeline.  Same float ops per
+    # element, bitwise-identical results.
+    X, Y = polyline[..., 0], polyline[..., 1]  # [..., P]
+    px, py = point[..., 0, None], point[..., 1, None]  # [..., 1]
+    x0, y0 = X[..., :-1], Y[..., :-1]
+    dx, dy = X[..., 1:] - x0, Y[..., 1:] - y0
+    pvx, pvy = px - x0, py - y0
+    line_lens_sq = dx * dx + dy * dy + 1e-8
+    t = jnp.clip((pvx * dx + pvy * dy) / line_lens_sq, 0.0, 1.0)
+    cx = x0 + dx * t - px
+    cy = y0 + dy * t - py
+    d = jnp.sqrt(cx * cx + cy * cy)  # [..., P-1]
     # Segments at/after the true end take the distance of segment n-2
     # (road_traffic.py:3440-3445).  One-hot reduce instead of
     # take_along_axis: the gather forces a T(8,128) relayout of d while
@@ -1067,11 +1073,25 @@ class Scenario(BaseScenario):
                 dists_norm = (
                     self.distances_agents / self.normalizer_distance_lanelet
                 )
-                neg, idx = jax.lax.top_k(-dists_norm, k)  # [B, A, k]
-                self._nearing_dist_sel = -neg
-                one_hot = (
-                    idx[..., None] == jnp.arange(A)
-                ).astype(positions.dtype)  # [B, A_i, k, A_j]
+                # k-round argmin fold instead of top_k: top_k sorts the
+                # whole [B, A, A] axis (378us/step at B=1000) to pick
+                # k=2 rows; k argmin reduces with masking are ~free and
+                # produce the one-hot selectors directly.  Same
+                # ascending order and first-index tie behaviour.
+                cur = dists_norm
+                vals, ohs = [], []
+                for _ in range(k):
+                    vals.append(jnp.min(cur, axis=-1))  # [B, A]
+                    oh = (
+                        jnp.argmin(cur, axis=-1)[..., None]
+                        == jnp.arange(A)
+                    )  # [B, A, A] bool
+                    ohs.append(oh)
+                    cur = jnp.where(oh, jnp.inf, cur)
+                self._nearing_dist_sel = jnp.stack(vals, axis=-1)  # [B, A, k]
+                one_hot = jnp.stack(ohs, axis=-2).astype(
+                    positions.dtype
+                )  # [B, A_i, k, A_j]
 
                 def sel(x):
                     return jnp.einsum("bika,ba...->bik...", one_hot, x)
