@@ -33,6 +33,7 @@ SUITE = [
     ("navigation", 10_000, {}),
     ("discovery", 10_000, {}),
     ("football", 30_000, dict(n_blue_agents=5, n_red_agents=5)),
+    ("road_traffic", 1_000, {}),
 ]
 
 QUICK = [

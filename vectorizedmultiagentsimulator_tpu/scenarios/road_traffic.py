@@ -465,8 +465,22 @@ class Scenario(BaseScenario):
     # Gathered per-agent path data
     # ------------------------------------------------------------------ #
     def _gather(self, table):
-        """table [n_paths, ...] indexed by path_id [B, A] -> [B, A, ...]."""
-        return jnp.asarray(table)[self.path_id]
+        """table [n_paths, ...] indexed by path_id [B, A] -> [B, A, ...].
+
+        Float tables ride a one-hot MXU matmul (the row gather from the
+        40-path polyline tables was memory-layout-bound at ~126us/step
+        each for B=1000, A=20); integer/bool tables use a plain gather.
+        """
+        t = jnp.asarray(table)
+        if jnp.issubdtype(t.dtype, jnp.floating) and t.ndim >= 2:
+            n = t.shape[0]
+            one_hot = (self.path_id[..., None] == jnp.arange(n)).astype(
+                t.dtype
+            )  # [B, A, n_paths]
+            flat = t.reshape(n, -1)
+            out = jnp.einsum("ban,nf->baf", one_hot, flat)
+            return out.reshape(self.path_id.shape + t.shape[1:])
+        return t[self.path_id]
 
     # ------------------------------------------------------------------ #
     # State snapshots + circular buffers (map_type '2'; the reference's
@@ -811,20 +825,23 @@ class Scenario(BaseScenario):
         dist_ref, idx_ref = get_perpendicular_distances(
             positions, long_term, n_pts
         )
-        c2l, _ = get_perpendicular_distances(positions, left_b, n_left)
-        c2r, _ = get_perpendicular_distances(positions, right_b, n_right)
 
         vertices = get_rectangle_vertices(
             positions, rotations, self.agent_width, self.l_f + self.l_r
         )  # [B, A, 5, 2]
-        # Distances from the 4 vertices to the boundaries
+        # Distances from the center AND the 4 vertices to each boundary
+        # in one call (same polyline broadcast either way; one [B, A, 5,
+        # P-1] pipeline instead of a center pass plus a vertex pass).
         v4 = vertices[..., :4, :]  # [B, A, 4, 2]
-        vl, _ = get_perpendicular_distances(
-            v4, left_b[:, :, None], n_left[:, :, None]
-        )  # [B, A, 4]
-        vr, _ = get_perpendicular_distances(
-            v4, right_b[:, :, None], n_right[:, :, None]
+        pts5 = jnp.concatenate([positions[:, :, None, :], v4], axis=2)
+        dl, _ = get_perpendicular_distances(
+            pts5, left_b[:, :, None], n_left[:, :, None]
+        )  # [B, A, 5]
+        dr, _ = get_perpendicular_distances(
+            pts5, right_b[:, :, None], n_right[:, :, None]
         )
+        c2l, vl = dl[..., 0], dl[..., 1:]
+        c2r, vr = dr[..., 0], dr[..., 1:]
         left_all = jnp.concatenate(
             [(c2l - self.agent_width / 2)[..., None], vl], axis=-1
         )  # [B, A, 5]
