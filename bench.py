@@ -34,6 +34,12 @@ NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 30_000))
 N_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
 REFERENCE_EPS = 296_000.0  # simple_spread 30k envs on RTX 2080 Ti
 
+# All-pairs stress scenes: long single-program scans at large batch trip
+# the remote-TPU tunnel watchdog (CLAUDE.md: pollock scan(20+)@4096
+# faults; short scans pass).  Chunk their rollouts; the per-invocation
+# overhead stays amortized across the chunk.
+HEAVY_SCENARIOS = {"pollock": 10, "waterfall": 50}
+
 
 def main():
     scenario = os.environ.get("BENCH_SCENARIO", "transport")
@@ -64,9 +70,16 @@ def main():
         )
         return state, sink
 
+    chunk = int(
+        os.environ.get("BENCH_CHUNK", HEAVY_SCENARIOS.get(scenario, N_STEPS))
+    )
+    chunk = min(chunk, N_STEPS)
+    n_chunks = max(1, N_STEPS // chunk)
+    total_steps = n_chunks * chunk
+
     @jax.jit
     def rollout(state):
-        return jax.lax.scan(body, state, None, length=N_STEPS)
+        return jax.lax.scan(body, state, None, length=chunk)
 
     # Warmup/compile
     state, sink = rollout(env.state)
@@ -75,11 +88,19 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        state, sink = rollout(state)
+        for _ in range(n_chunks):
+            state, sink = rollout(state)
         jax.block_until_ready(sink)
         times.append(time.perf_counter() - t0)
+    # Fetch the sink to surface silently-failed async executions (a
+    # failed run can make block_until_ready return immediately).
+    import numpy as np
+
+    sink_host = np.asarray(sink)
+    if not np.isfinite(sink_host).all():
+        raise FloatingPointError("bench: non-finite rollout outputs")
     best = min(times)
-    eps = N_STEPS * NUM_ENVS / best
+    eps = total_steps * NUM_ENVS / best
     print(
         json.dumps(
             {

@@ -170,3 +170,25 @@ def test_per_agent_reset_api():
     # Re-placement respects the minimum mutual distance
     d = np.linalg.norm(after[0, 2] - np.delete(after[0], 2, axis=0), axis=-1)
     assert (d >= sc.reset_agent_min_distance * 0.99).all()
+
+
+def test_done_side_effects_gated_on_reset_path():
+    """Reset-path done() queries must not record initial-state-buffer rows
+    or re-place agents — those are per-step semantics (reference runs them
+    in done() after world.step, road_traffic.py:2302-2345)."""
+    import jax.numpy as jnp
+
+    env = _make(map_type="2", jit_compile=False)
+    sc = env.scenario
+    sc.probability_record = 1.0
+    env.step(env.get_random_actions())
+    sc.collide_agents = jnp.ones_like(sc.collide_agents)
+    l0 = np.asarray(sc.isb_len).copy()
+    sc._in_reset_query = True
+    try:
+        sc.done()
+    finally:
+        sc._in_reset_query = False
+    assert (np.asarray(sc.isb_len) == l0).all(), "gated done() recorded"
+    sc.done()
+    assert (np.asarray(sc.isb_len) > l0).all(), "step-path done() must record"

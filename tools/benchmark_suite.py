@@ -71,7 +71,7 @@ def main():
             # Release this config's device buffers before the next one:
             # stale 30k-env states from prior iterations can push a later
             # config into a silent async failure on remote devices.
-            env._state = None
+            env.world._state = None
             del env, result
             import gc
 

@@ -248,12 +248,21 @@ class Environment:
         self.world.bind(
             s.replace(steps=jnp.where(mask, 0, s.steps))
         )
-        obs = self._get_from_scenario(
-            get_observations=True,
-            get_rewards=False,
-            get_infos=True,
-            get_dones=True,
-        )
+        # done() is queried here only to report the post-reset flags;
+        # scenarios whose done() has step side effects (e.g.
+        # road_traffic's collision recording / agent re-placement) gate
+        # them on this trace-time flag so a reset never re-runs them on
+        # stale per-step state.
+        self.scenario._in_reset_query = True
+        try:
+            obs = self._get_from_scenario(
+                get_observations=True,
+                get_rewards=False,
+                get_infos=True,
+                get_dones=True,
+            )
+        finally:
+            self.scenario._in_reset_query = False
         return tuple(obs)
 
     def _select_reset_outputs(

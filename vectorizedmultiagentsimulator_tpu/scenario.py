@@ -36,6 +36,11 @@ from vectorizedmultiagentsimulator_tpu.utils import (
 
 
 class BaseScenario(ABC):
+    # True while the Environment queries done() from a reset path (to
+    # report post-reset flags) rather than after a world step; scenarios
+    # whose done() carries per-step side effects gate them on this.
+    _in_reset_query = False
+
     def __init__(self):
         """Do not override."""
         self._world: Optional[World] = None

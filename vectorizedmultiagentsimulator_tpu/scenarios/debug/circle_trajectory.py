@@ -129,7 +129,7 @@ class Scenario(BaseScenario):
         )
         tangent = self.get_tangent_to_circle(agent, closest_point)
         self.dot_product = (
-            jnp.einsum("bs,bs->b", tangent, agent.state.vel) * 0.5
+            jnp.sum(tangent * agent.state.vel, axis=-1) * 0.5
         )
         return self.pos_rew + self.dot_product
 

@@ -72,12 +72,12 @@ class Scenario(BaseScenario):
         )
         tangent = jnp.zeros_like(agent.state.vel).at[:, Y].set(1.0)
         self.dot_product = (
-            jnp.einsum("bs,bs->b", tangent, agent.state.vel) * 0.5
+            jnp.sum(tangent * agent.state.vel, axis=-1) * 0.5
         )
         normalized_vel = _safe_normalize(agent.state.vel)
         normalized_vel_action = _safe_normalize(self.vel_action)
         self.steady_rew = (
-            jnp.einsum("bs,bs->b", normalized_vel, normalized_vel_action) * 0.2
+            jnp.sum(normalized_vel * normalized_vel_action, axis=-1) * 0.2
         )
         return self.pos_rew + self.dot_product + self.steady_rew
 

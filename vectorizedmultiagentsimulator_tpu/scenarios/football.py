@@ -1681,7 +1681,9 @@ class Splines:
         )
         U_matmul_A = jnp.asarray(U @ cls.A)  # [4]
         P = jnp.stack([p0, p1, p0dot, p1dot], axis=1)  # [B, 4, 2]
-        return jnp.einsum("k,bkd->bd", U_matmul_A, P)
+        return jnp.einsum(
+            "k,bkd->bd", U_matmul_A, P, precision=jax.lax.Precision.HIGHEST
+        )
 
     @classmethod
     def nPr(cls, n, r):

@@ -45,7 +45,7 @@ def get_line_angle_0_180(rot):
 def get_line_angle_dist_0_360(angle, goal):
     angle = angle_to_vector(angle)
     goal = angle_to_vector(goal)
-    return -jnp.einsum("bs,bs->b", angle, goal)
+    return -jnp.sum(angle * goal, axis=-1)
 
 
 def get_line_angle_dist_0_180(angle, goal):

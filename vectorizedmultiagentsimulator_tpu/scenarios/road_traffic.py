@@ -142,7 +142,12 @@ def get_short_term_reference_path(
     one_hot = (
         future[..., None] == jnp.arange(P)
     ).astype(polyline.dtype)  # [..., n_ret, P]
-    return jnp.einsum("...kp,...pd->...kd", one_hot, polyline), future
+    return jnp.einsum(
+        "...kp,...pd->...kd",
+        one_hot,
+        polyline,
+        precision=jax.lax.Precision.HIGHEST,
+    ), future
 
 
 def segments_intersect(L1, L2):
@@ -423,8 +428,9 @@ class Scenario(BaseScenario):
         self.group_sizes = np.asarray(sizes, np.int32)
         # Initial point_id range along the chosen path
         # (road_traffic.py:1126-1134): [6, n/2) when only the whole map /
-        # intersection is in play, else [3, n-5).
-        self.point_range_open = self.map_type == "3" and (
+        # intersection is in play, else [3, n-5).  The reference gates
+        # this purely on scenario_probabilities (not map_type).
+        self.point_range_open = (
             self.scenario_probabilities[1] != 0
             or self.scenario_probabilities[2] != 0
         )
@@ -478,7 +484,12 @@ class Scenario(BaseScenario):
                 t.dtype
             )  # [B, A, n_paths]
             flat = t.reshape(n, -1)
-            out = jnp.einsum("ban,nf->baf", one_hot, flat)
+            out = jnp.einsum(
+                "ban,nf->baf",
+                one_hot,
+                flat,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             return out.reshape(self.path_id.shape + t.shape[1:])
         return t[self.path_id]
 
@@ -1111,7 +1122,12 @@ class Scenario(BaseScenario):
                 )  # [B, A_i, k, A_j]
 
                 def sel(x):
-                    return jnp.einsum("bika,ba...->bik...", one_hot, x)
+                    return jnp.einsum(
+                        "bika,ba...->bik...",
+                        one_hot,
+                        x,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
 
                 pos_j = sel(positions)  # [B, A, k, 2]
                 rot_j = sel(rotations)  # [B, A, k]
@@ -1292,6 +1308,17 @@ class Scenario(BaseScenario):
         )
         is_collision_with_lanelets = jnp.any(self.collide_lanelets, axis=-1)
 
+        if self._in_reset_query:
+            # Reset-path query: report the flags only.  The recording /
+            # re-placement side effects below are per-STEP semantics
+            # (reference runs them in done() after world.step,
+            # road_traffic.py:2302-2345); re-running them here would
+            # append duplicate initial-state-buffer rows and re-place
+            # agents from stale pre-reset collision flags.
+            if self.is_testing_mode:
+                return jnp.zeros((B,), dtype=bool)
+            return is_collision_with_agents | is_collision_with_lanelets
+
         if self.map_type == "2":
             # Record the state from n_steps_stored steps before an
             # agent-agent collision into the initial-state buffer
@@ -1318,6 +1345,10 @@ class Scenario(BaseScenario):
             self._reset_agents(agents_reset)
             return jnp.zeros((B,), dtype=bool)
 
+        # NOTE: when map_type '3' / testing mode re-place agents below,
+        # the refresh runs every step even if no agent crossed a segment
+        # (masked dense update; a data-dependent skip would need the
+        # whole _reset_agents pipeline functionalized under lax.cond).
         done = is_collision_with_agents | is_collision_with_lanelets
         if self.map_type == "3":
             # Agents leaving through their entry/exit segments are
