@@ -192,3 +192,30 @@ def test_done_side_effects_gated_on_reset_path():
     assert (np.asarray(sc.isb_len) == l0).all(), "gated done() recorded"
     sc.done()
     assert (np.asarray(sc.isb_len) > l0).all(), "step-path done() must record"
+
+
+def test_onehot_selections_exact():
+    """The one-hot einsum path/point lookups must select exactly (they
+    replaced take_along_axis gathers; precision=HIGHEST guards against
+    TPU's default bf16 matmul truncation of the f32 data operand)."""
+    import jax
+    import jax.numpy as jnp
+    from vectorizedmultiagentsimulator_tpu.scenarios.road_traffic import (
+        get_short_term_reference_path,
+    )
+
+    key = jax.random.PRNGKey(0)
+    B, A, P = 16, 3, 37
+    poly = jax.random.normal(key, (B, A, P, 2))
+    idx = jax.random.randint(jax.random.fold_in(key, 1), (B, A), 0, P - 20)
+    n_pts = jnp.full((B, A), P)
+    is_loop = jnp.zeros((B, A), bool)
+    pts, future = get_short_term_reference_path(
+        poly, idx, 4, is_loop, n_pts, sample_interval=2, n_points_shift=1
+    )
+    ref = jnp.take_along_axis(
+        poly, future[..., None].repeat(2, axis=-1), axis=-2
+    )
+    assert np.array_equal(np.asarray(pts), np.asarray(ref)), (
+        "one-hot selection is not exact"
+    )
