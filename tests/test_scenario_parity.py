@@ -49,11 +49,32 @@ def test_scenario_dynamics_parity(scenario):
         os.path.join(GOLDEN, f"scenario_{scenario}.npz"), allow_pickle=True
     )
     kwargs = ast.literal_eval(str(data["kwargs_json"]))
+    # Golden variants (e.g. football_1v1ai) store the real scenario name.
+    scenario_name = (
+        str(data["scenario_name"]) if "scenario_name" in data else scenario
+    )
     B = data["pos"].shape[2]
     n_steps = data["actions"].shape[0]
 
-    env = vmt.make_env(scenario, num_envs=B, seed=0, **kwargs)
+    env = vmt.make_env(scenario_name, num_envs=B, seed=0, **kwargs)
     env.reset(seed=0)
+
+    if "entity_mass" in data:
+        # Inject the reference's reset-sampled masses (het_mass) through
+        # the dynamic per-env mass mechanism.
+        for i, n in enumerate([str(x) for x in data["entity_names"]]):
+            ref_mass = float(data["entity_mass"][i])
+            e = {x.name: x for x in env.world.entities}[n]
+            e.mass = jnp.full((B, 1), ref_mass, jnp.float32)
+
+    if "rt_path_id" in data:
+        # road_traffic: inject the reference's internal path-selection
+        # state (within-scenario ids) alongside the poses below.
+        env.scenario.inject_reference_ids(
+            np.asarray(data["rt_scenario_id"]),
+            np.asarray(data["rt_path_id"]),
+            np.asarray(data["rt_point_id"]),
+        )
 
     names = [str(n) for n in data["entity_names"]]
     mine_by_name = {e.name: e for e in env.world.entities}
@@ -96,11 +117,32 @@ def test_scenario_dynamics_parity(scenario):
         for size in action_sizes:
             actions.append(jnp.asarray(flat[:, ofs : ofs + size]))
             ofs += size
-        env.step(actions)
+        obs, rews, _dones, _infos = env.step(actions)
 
         if t >= tol["max_steps"]:
             continue
         atol = min(tol["base"] * (tol["growth"] ** t), 0.05)
+        if "obs" in data:
+            # Observation parity (e.g. discovery's LIDAR measurements);
+            # same pointwise tolerance + divergence accounting as states.
+            ref_obs = data["obs"][t + 1]  # [n_agents, B, obs_dim]
+            for ai in range(ref_obs.shape[0]):
+                mine_obs = np.asarray(obs[ai])
+                diff = np.abs(mine_obs - ref_obs[ai])
+                bound = atol + 2e-3 * np.abs(ref_obs[ai])
+                diverged_envs |= (diff > bound).any(axis=-1)
+        if "rew" in data and t >= 1:
+            # t=0 is skipped: shaping-reward baselines (e.g. football's
+            # pos_shaping) were computed at OUR reset spawn, while the
+            # reference's were computed at the injected (reference) spawn;
+            # from t=1 both sides' baselines come from the shared
+            # trajectory.
+            ref_rew = data["rew"][t]  # [n_agents, B]
+            for ai in range(ref_rew.shape[0]):
+                mine_rew = np.asarray(rews[ai]).reshape(-1)
+                diff = np.abs(mine_rew - ref_rew[ai])
+                bound = atol + 2e-3 * np.abs(ref_rew[ai])
+                diverged_envs |= diff > bound
         for i, n in enumerate(names):
             e = mine_by_name[n]
             for field, ref in (

@@ -71,6 +71,62 @@ SCENARIOS = {
 }
 
 
+# Extra goldens: filename suffix -> (scenario, make_env kwargs, options).
+# These close the round-1 parity gap (VERDICT.md item 2): the scripted
+# football AI (1v1: a single red AI agent always has possession, so the
+# stochastic `check_better_positions` branch runs on an empty mask and the
+# policy is fully deterministic), the physically-different football
+# classes, discovery with LIDAR obs recorded (targets_respawn=False and
+# the generator asserts no target is covered, so no reward-time RNG
+# fires), the stateful Drone dynamics, and road_traffic map types '1'/'3'
+# (the reference's internal scenario/path/point ids are recorded so the
+# replay can inject them).
+EXTRA = {
+    "football_1v1ai": (
+        "football",
+        dict(
+            n_blue_agents=2,
+            n_red_agents=1,
+            ai_red_agents=True,
+            ai_blue_agents=False,
+        ),
+        dict(record_obs=True, record_rew=True),
+    ),
+    "football_diff": (
+        "football",
+        dict(
+            n_blue_agents=5,
+            n_red_agents=5,
+            ai_red_agents=False,
+            ai_blue_agents=False,
+            physically_different=True,
+        ),
+        dict(record_obs=True, record_rew=True),
+    ),
+    "discovery": (
+        "discovery",
+        dict(n_agents=3, n_targets=2, targets_respawn=False),
+        dict(record_obs=True, record_rew=True, assert_no_coverage=True),
+    ),
+    "drone": ("drone", {}, dict(record_obs=True, record_rew=True)),
+    "het_mass": (
+        "het_mass",
+        {},
+        dict(record_obs=True, record_rew=True, record_masses=True),
+    ),
+    "road_traffic_map1": (
+        "road_traffic",
+        dict(map_type="1", n_agents=4, is_add_noise=False),
+        dict(record_rt_ids=True, record_obs=True, record_rew=True),
+    ),
+    "road_traffic_map3": (
+        "road_traffic",
+        dict(map_type="3", n_agents=4, is_add_noise=False),
+        dict(record_rt_ids=True, record_obs=True, record_rew=True),
+    ),
+}
+
+
 def deterministic_actions(env, t):
     """In-range, smooth actions: u_i = 0.5 * u_range * sin(t + k)."""
     actions = []
@@ -102,11 +158,12 @@ def deterministic_actions(env, t):
     return actions
 
 
-def record(scenario, kwargs):
+def record(scenario, kwargs, out_name=None, opts=None):
+    opts = opts or {}
     env = vmas.make_env(
         scenario=scenario, num_envs=B, seed=0, wrapper=None, **kwargs
     )
-    env.reset(seed=0)
+    reset_obs = env.reset(seed=0)
     world = env.world
     entities = world.entities
     names = [e.name for e in entities]
@@ -117,6 +174,8 @@ def record(scenario, kwargs):
     rot = np.zeros((N_STEPS + 1, N, B, 1), np.float32)
     ang_vel = np.zeros_like(rot)
     acts_rec = []
+    obs_rec = [] if opts.get("record_obs") else None
+    rew_rec = [] if opts.get("record_rew") else None
 
     def snap(t):
         for i, e in enumerate(entities):
@@ -125,16 +184,57 @@ def record(scenario, kwargs):
             rot[t, i] = e.state.rot.cpu().numpy()
             ang_vel[t, i] = e.state.ang_vel.cpu().numpy()
 
+    def snap_obs(obs):
+        if obs_rec is not None:
+            obs_rec.append(
+                np.stack([o.cpu().numpy() for o in obs], axis=0)
+            )  # [n_agents, B, obs_dim]
+
     snap(0)
+    snap_obs(reset_obs)
     for t in range(N_STEPS):
         actions = deterministic_actions(env, t)
         acts_rec.append(np.concatenate([a.reshape(B, -1) for a in actions], axis=1))
-        env.step([torch.as_tensor(a) for a in actions])
+        obs, rews, _dones, _infos = env.step(
+            [torch.as_tensor(a) for a in actions]
+        )
         snap(t + 1)
+        snap_obs(obs)
+        if rew_rec is not None:
+            rew_rec.append(
+                np.stack([r.cpu().numpy() for r in rews], axis=0)
+            )  # [n_agents, B]
+        if opts.get("assert_no_coverage"):
+            covered = env.scenario.covered_targets
+            assert not bool(covered.any()), (
+                f"{scenario}: a target was covered at step {t} — the golden"
+                " would consume reward-time RNG; choose a different"
+                " seed/actions"
+            )
+
+    extra_fields = {}
+    if obs_rec is not None:
+        extra_fields["obs"] = np.stack(obs_rec)  # [T+1, n_agents, B, obs_dim]
+    if rew_rec is not None:
+        extra_fields["rew"] = np.stack(rew_rec)  # [T, n_agents, B]
+    if opts.get("record_masses"):
+        extra_fields["entity_mass"] = np.asarray(
+            [float(e.mass) for e in entities], np.float32
+        )
+    if opts.get("record_rt_ids"):
+        rel = env.scenario.ref_paths_agent_related
+        extra_fields["rt_scenario_id"] = (
+            rel.scenario_id.cpu().numpy().astype(np.int32)
+        )
+        extra_fields["rt_path_id"] = rel.path_id.cpu().numpy().astype(np.int32)
+        extra_fields["rt_point_id"] = (
+            rel.point_id.cpu().numpy().astype(np.int32)
+        )
 
     action_sizes = [env.get_agent_action_size(a) for a in env.agents]
     np.savez_compressed(
-        os.path.join(OUT, f"scenario_{scenario}.npz"),
+        os.path.join(OUT, f"scenario_{out_name or scenario}.npz"),
+        scenario_name=np.asarray(scenario),
         entity_names=np.asarray(names, dtype=object),
         agent_names=np.asarray([a.name for a in env.agents], dtype=object),
         action_sizes=np.asarray(action_sizes, np.int32),
@@ -144,17 +244,28 @@ def record(scenario, kwargs):
         rot=rot,
         ang_vel=ang_vel,
         actions=np.stack(acts_rec),  # [T, B, sum(action_sizes)]
+        **extra_fields,
     )
-    print(f"{scenario}: recorded {N} entities x {N_STEPS} steps")
+    print(f"{scenario} -> {out_name or scenario}: recorded {N} entities x {N_STEPS} steps")
 
 
 def main():
     os.makedirs(OUT, exist_ok=True)
+    only = sys.argv[1:] or None
     for scenario, kwargs in SCENARIOS.items():
+        if only and scenario not in only:
+            continue
         try:
             record(scenario, kwargs)
         except Exception as e:  # noqa: BLE001
             print(f"{scenario}: FAILED to record ({type(e).__name__}: {e})")
+    for out_name, (scenario, kwargs, opts) in EXTRA.items():
+        if only and out_name not in only:
+            continue
+        try:
+            record(scenario, kwargs, out_name=out_name, opts=opts)
+        except Exception as e:  # noqa: BLE001
+            print(f"{out_name}: FAILED to record ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

@@ -586,6 +586,24 @@ class Scenario(BaseScenario):
             jnp.full((B,), self.n_paths, jnp.int32),
         )
 
+    def inject_reference_ids(self, scenario_id, path_id, point_id):
+        """Test hook: overwrite the path-selection state with ids recorded
+        from the reference implementation (parity replay).
+
+        The reference keeps per-(env, agent) ``scenario_id/path_id/point_id``
+        with path ids local to the env's sub-map
+        (road_traffic.py:455-463, 1060-1093); ours are global into the
+        concatenated path table, offset by the sub-map's group start.
+        """
+        sid = jnp.asarray(np.asarray(scenario_id)[:, 0], jnp.int32)  # [B]
+        pid = jnp.asarray(path_id, jnp.int32)  # [B, A]
+        if self.map_type == "3":
+            lo = jnp.asarray(self.group_offsets)[sid - 1]  # [B]
+            pid = pid + lo[:, None]
+        self.scenario_id = sid
+        self.path_id = pid
+        self.point_id = jnp.asarray(point_id, jnp.int32)
+
     def _propose_placement(self, k, group_lo, group_size):
         """Random (path_id, point_id, pos) per env within the env's path
         group; point range per road_traffic.py:1126-1134."""

@@ -283,6 +283,14 @@ class ScenarioUtils:
         (e.g. discovery target coverage): rows where ``replace_mask`` is
         False keep their current position and still block others.
         """
+        # Random placement is gradient-free data (the reference's python
+        # rejection loop never participates in autograd); cutting the
+        # tangents here also keeps the rejection ``lax.while_loop`` out of
+        # reverse-mode AD (which cannot transpose while_loop).
+        occupied_positions = jax.lax.stop_gradient(occupied_positions)
+        if current_positions is not None:
+            current_positions = jax.lax.stop_gradient(current_positions)
+
         batch_dim = occupied_positions.shape[0]
         M = int(n_new)
         O = occupied_positions.shape[1]
