@@ -308,10 +308,34 @@ class Entity(Observable):
 
     @property
     def mass(self):
+        world = self.__dict__.get("_world")
+        if world is not None and world.is_finalized:
+            key = self._extras_key("dyn_mass")
+            if world.has_extra(key):
+                return world.get_extra(key)
         return self._mass
 
     @mass.setter
-    def mass(self, mass: float):
+    def mass(self, mass):
+        world = self.__dict__.get("_world")
+        if (
+            world is not None
+            and world.is_finalized
+            and _is_batched_array(mass, world.batch_dim)
+        ):
+            # Runtime per-env mass override (e.g. het_mass resamples masses
+            # at every reset, het_mass.py:50-54) — lives in the state
+            # pytree so it persists under jit.  [B] or [B,1] accepted;
+            # stored as [B,1].  Physics uses it for gravity/friction
+            # forces, acceleration, and (shape-linearly) the moment of
+            # inertia; the fused Pallas step falls back to the jnp path
+            # for worlds with dynamic mass (ops/physics_pallas.py
+            # step_supported).
+            world.set_extra(
+                self._extras_key("dyn_mass"),
+                jnp.asarray(mass, jnp.float32).reshape(world.batch_dim, 1),
+            )
+            return
         self._mass = mass
 
     @property

@@ -658,6 +658,24 @@ class World:
         mass = jnp.asarray(self._mass)
         moment = jnp.asarray(self._moment)
 
+        # Effective per-entity mass/moment [1|B, N, 1]: static tables, with
+        # per-env overrides from ``extras["<name>.dyn_mass"]`` (the dynamic
+        # analogue of dyn_gravity; shape moments are linear in mass so the
+        # override rescales the static moment).
+        mass_e = mass[None, :, None]
+        moment_e = moment[None, :, None]
+        if any(f"{e.name}.dyn_mass" in extras for e in self.entities):
+            mass_e = jnp.broadcast_to(mass_e, (B, N, 1))
+            moment_e = jnp.broadcast_to(moment_e, (B, N, 1))
+            for i, e in enumerate(self.entities):
+                mkey = f"{e.name}.dyn_mass"
+                if mkey in extras:
+                    m = extras[mkey].reshape(B, 1)
+                    mass_e = mass_e.at[:, i].set(m)
+                    moment_e = moment_e.at[:, i].set(
+                        m * (self._moment[i] / self._mass[i])
+                    )
+
         # Static per-entity action force layout: landmarks get zeros.
         zeros_land_f = jnp.zeros((B, nl, 2), pos.dtype)
         zeros_land_t = jnp.zeros((B, nl, 1), pos.dtype)
@@ -676,7 +694,7 @@ class World:
         if np.any(self._gravity_vec != 0):
             gravity_force = (
                 jnp.asarray(self._gravity_vec)[None]
-                * mass[None, :, None]
+                * mass_e
                 * movable[None, :, None]
             )
         else:
@@ -691,7 +709,7 @@ class World:
                 if dkey in extras:
                     gravity_force = gravity_force.at[:, i].add(
                         extras[dkey]
-                        * self._mass[i]
+                        * mass_e[..., i, :]
                         * float(self._movable[i])
                     )
 
@@ -711,11 +729,11 @@ class World:
 
             if has_lin_friction:
                 forces = forces + self._friction_force(
-                    vel, jnp.asarray(self._lin_friction), mass
+                    vel, jnp.asarray(self._lin_friction), mass_e
                 )
             if has_ang_friction:
                 torques = torques + self._friction_force(
-                    ang_vel, jnp.asarray(self._ang_friction), moment
+                    ang_vel, jnp.asarray(self._ang_friction), moment_e
                 )
 
             pair_f, pair_t = self._environment_forces(pos, rot)
@@ -730,7 +748,7 @@ class World:
                 ang_vel = jnp.where(
                     rotatable[None, :, None], ang_vel * (1 - drag), ang_vel
                 )
-            accel = forces / mass[None, :, None]
+            accel = forces / mass_e
             new_vel = vel + accel * self._sub_dt
             if np.isfinite(self._max_speed).any():
                 new_vel = JaxUtils.clamp_with_norm(
@@ -751,7 +769,7 @@ class World:
                 new_pos = jnp.stack([nx, ny], axis=-1)
             pos = jnp.where(movable[None, :, None], new_pos, pos)
 
-            new_ang_vel = ang_vel + (torques / moment[None, :, None]) * self._sub_dt
+            new_ang_vel = ang_vel + (torques / moment_e) * self._sub_dt
             ang_vel = jnp.where(rotatable[None, :, None], new_ang_vel, ang_vel)
             rot = jnp.where(
                 rotatable[None, :, None], rot + ang_vel * self._sub_dt, rot
@@ -761,13 +779,14 @@ class World:
 
     def _friction_force(self, vel: Array, coeff: Array, mass_like: Array) -> Array:
         """Static/kinetic friction (core.py:2054-2073).  ``vel`` is
-        [B,N,d]; ``coeff``/``mass_like`` are [N]."""
+        [B,N,d]; ``coeff`` is [N]; ``mass_like`` is [1|B, N, 1] (batched
+        when per-env dynamic mass overrides are active)."""
         speed = JaxUtils.safe_norm(vel, axis=-1)  # [B, N]
         static = speed == 0
-        friction_const = (coeff * mass_like)[None, :, None]
+        friction_const = coeff[None, :, None] * mass_like
         direction = vel / jnp.where(static, 1e-8, speed)[..., None]
         friction = -direction * jnp.minimum(
-            friction_const, jnp.abs(vel) / self._sub_dt * mass_like[None, :, None]
+            friction_const, jnp.abs(vel) / self._sub_dt * mass_like
         )
         return jnp.where(static[..., None], 0.0, friction)
 

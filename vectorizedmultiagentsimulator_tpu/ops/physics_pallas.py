@@ -58,6 +58,12 @@ def pallas_step_enabled() -> bool:
 def step_supported(world) -> bool:
     if not pallas_step_enabled():
         return False
+    # Per-env dynamic mass (extras "<name>.dyn_mass", e.g. het_mass) stays
+    # on the jnp path: the kernel bakes masses in as compile-time scalars.
+    if any(
+        world.has_extra(f"{e.name}.dyn_mass") for e in world.entities
+    ):
+        return False
     for c in world._ordered_constraints:
         # batch-dynamic (extras-backed) fixed_rotation stays on the jnp path
         if not (

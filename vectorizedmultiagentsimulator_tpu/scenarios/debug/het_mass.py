@@ -3,18 +3,28 @@
 Two agents with heterogeneous masses move along X only; reward is max speed
 minus energy expenditure.
 
-Jit-native deviation: the reference resamples the mass noise with python
-RNG at every reset (het_mass.py:49-54); entity masses here are static
-physics-table entries, so the noise is sampled once at construction.
+RNG deviation (documented like the other per-env re-expressions): the
+reference draws ONE python-RNG mass noise shared by the whole batch at
+every reset (het_mass.py:49-54); here each env draws its own noise from
+the world PRNG chain — identical marginal distribution, independent across
+envs, resampled at every reset via the dynamic per-env mass mechanism
+(``entity.mass = [B,1] array`` -> ``state.extras["<name>.dyn_mass"]``).
 """
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vectorizedmultiagentsimulator_tpu.core import Agent, World
 from vectorizedmultiagentsimulator_tpu.scenario import BaseScenario
-from vectorizedmultiagentsimulator_tpu.utils import Color, ScenarioUtils, Y
+from vectorizedmultiagentsimulator_tpu.utils import (
+    Color,
+    JaxUtils,
+    ScenarioUtils,
+    Y,
+    env_index_to_mask,
+)
 
 
 class Scenario(BaseScenario):
@@ -31,8 +41,7 @@ class Scenario(BaseScenario):
             collide=False,
             color=Color.GREEN,
             render_action=True,
-            mass=self.green_mass
-            + np.random.uniform(-self.mass_noise, self.mass_noise),
+            mass=self.green_mass,
             f_range=1,
         )
         world.add_agent(self._green_agent)
@@ -40,14 +49,33 @@ class Scenario(BaseScenario):
             name="agent 1",
             collide=False,
             render_action=True,
-            mass=self.blue_mass
-            + np.random.uniform(-self.mass_noise, self.mass_noise),
+            mass=self.blue_mass,
             f_range=1,
         )
         world.add_agent(self._blue_agent)
         return world
 
     def reset_world_at(self, env_index=None):
+        # Per-env mass resampling at every reset (het_mass.py:50-54; see
+        # module docstring for the RNG deviation).
+        B = self.world.batch_dim
+        mask = env_index_to_mask(env_index, B)[:, None]
+        for agent, base in (
+            (self._green_agent, self.green_mass),
+            (self._blue_agent, self.blue_mass),
+        ):
+            new_mass = base + jax.random.uniform(
+                self.world.next_key(),
+                (B, 1),
+                minval=-self.mass_noise,
+                maxval=self.mass_noise,
+            )
+            if self.world.is_finalized and self.world.has_extra(
+                f"{agent.name}.dyn_mass"
+            ):
+                agent.mass = jnp.where(mask, new_mass, agent.mass)
+            else:
+                agent.mass = new_mass
         for agent in self.world.agents:
             agent.set_pos(
                 ScenarioUtils.uniform_in_bounds(self.world, -1.0, 1.0),
