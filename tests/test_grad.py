@@ -2,8 +2,13 @@
 
 ``jax.grad`` of a rollout loss with respect to the first action must be
 finite and non-trivially nonzero — the soft-contact physics is smooth by
-construction.
+construction.  Mirrors the reference's coverage: EVERY scenario except
+football / simple_crypto / road_traffic (the same three the reference
+excludes, tests/test_vmas.py:281-285).  The Pallas custom-VJP paths
+(ops/physics_pallas.py, ops/raycast_pallas.py) are additionally
+gradient-checked against the jnp path.
 """
+import importlib
 import os
 import sys
 
@@ -16,13 +21,31 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import vectorizedmultiagentsimulator_tpu as vmt
 
-
-@pytest.mark.parametrize(
-    "scenario", ["dispersion", "transport", "balance", "simple_spread"]
+scenarios_module = importlib.import_module(
+    "vectorizedmultiagentsimulator_tpu.scenarios"
 )
-def test_grad_through_rollout(scenario, num_envs=2, n_steps=3):
+
+# Reference exclusions (tests/test_vmas.py:281-285): football and
+# road_traffic for scale/scripted AI, simple_crypto for its discrete
+# key-mixing observations.
+_EXCLUDED = {"football", "simple_crypto", "road_traffic"}
+
+# Small-world overrides to keep grad-rollout compile time bounded.
+_KWARGS = {
+    "pollock": dict(n_agents=3, n_lines=2, n_boxes=2),
+    "discovery": dict(n_agents=3, n_targets=3),
+    "navigation": dict(n_agents=3),
+    "flocking": dict(n_agents=3, n_obstacles=2),
+}
+
+
+def _grad_scenarios():
+    return [n for n in scenarios_module.names() if n not in _EXCLUDED]
+
+
+def _rollout_grad(scenario, num_envs=2, n_steps=3, **kwargs):
     env = vmt.make_env(
-        scenario, num_envs=num_envs, seed=0, grad_enabled=True
+        scenario, num_envs=num_envs, seed=0, grad_enabled=True, **kwargs
     )
     state0 = env.state
     action_sizes = [a.action_size for a in env.agents]
@@ -49,9 +72,46 @@ def test_grad_through_rollout(scenario, num_envs=2, n_steps=3):
     first_action = jnp.full(
         (num_envs, sum(action_sizes)), 0.1, jnp.float32
     )
-    grad = jax.grad(loss)(first_action)
-    assert np.isfinite(np.asarray(grad)).all()
-    assert np.abs(np.asarray(grad)).sum() > 0
+    return jax.grad(loss)(first_action)
+
+
+@pytest.mark.parametrize("scenario", _grad_scenarios())
+def test_grad_through_rollout(scenario):
+    grad = _rollout_grad(scenario, **_KWARGS.get(scenario, {}))
+    assert np.isfinite(np.asarray(grad)).all(), (
+        f"{scenario}: NaN/inf gradient"
+    )
+    assert np.abs(np.asarray(grad)).sum() > 0, (
+        f"{scenario}: gradient is identically zero"
+    )
+
+
+@pytest.mark.parametrize(
+    "scenario,kwargs",
+    [
+        ("transport", {}),  # box-sphere narrowphase + shaping rewards
+        ("balance", {}),  # gravity + line/box narrowphase + joints-free
+        ("discovery", dict(n_agents=3, n_targets=3)),  # LIDAR custom VJP
+    ],
+)
+def test_grad_pallas_matches_jnp(scenario, kwargs, monkeypatch):
+    """The fused Pallas step/LIDAR custom VJPs must produce the same
+    gradients as the jnp path (interpret mode on CPU)."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VMT_PALLAS_STEP", "0")
+    monkeypatch.setenv("VMT_PALLAS_LIDAR", "0")
+    g_jnp = _rollout_grad(scenario, n_steps=2, **kwargs)
+    monkeypatch.setenv("VMT_PALLAS_STEP", "1")
+    monkeypatch.setenv("VMT_PALLAS_LIDAR", "1")
+    g_pallas = _rollout_grad(scenario, n_steps=2, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas),
+        np.asarray(g_jnp),
+        atol=1e-5,
+        rtol=1e-4,
+        err_msg=f"{scenario}: pallas grad != jnp grad",
+    )
+    assert np.abs(np.asarray(g_pallas)).sum() > 0
 
 
 def test_grad_disabled_stops_gradient(num_envs=2):

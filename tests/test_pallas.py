@@ -129,21 +129,38 @@ def test_fused_step_partitions_under_gspmd(pallas_interpret):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-@pytest.mark.skipif(
-    os.environ.get("VMT_FULL_PALLAS_SWEEP") != "1",
-    reason="slow full sweep; set VMT_FULL_PALLAS_SWEEP=1 "
-    "(every fused-path scenario vs the jnp path, interpret mode)",
-)
-def test_fused_step_full_scenario_sweep(pallas_interpret):
-    from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
+def _all_scenarios():
     from vectorizedmultiagentsimulator_tpu.scenarios import _REGISTRY
 
-    kw = {"road_traffic": dict(n_agents=4)}
-    for name in sorted(_REGISTRY):
-        env = vmt.make_env(name, num_envs=2, seed=0, **kw.get(name, {}))
-        if not physics_pallas.step_supported(env.world):
-            continue
-        _compare(name, n_steps=2, num_envs=2, **kw.get(name, {}))
+    return sorted(_REGISTRY)
+
+
+_SWEEP_KW = {
+    "road_traffic": dict(n_agents=4),
+    "football": dict(n_blue_agents=2, n_red_agents=2),
+    "pollock": dict(n_agents=3, n_lines=2, n_boxes=2),
+    "discovery": dict(n_agents=3, n_targets=3),
+    "navigation": dict(n_agents=3),
+    "flocking": dict(n_agents=3, n_obstacles=2),
+}
+
+
+@pytest.mark.parametrize("name", _all_scenarios())
+def test_fused_step_scenario_sweep(pallas_interpret, name):
+    """Every scenario whose world config takes the fused Pallas step is
+    A/B'd against the jnp path on every run (tiny config, interpret mode).
+    Unsupported configs (pollock/waterfall fall back — see
+    test_unsupported_configs_fall_back) just assert the fallback."""
+    from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
+
+    kw = _SWEEP_KW.get(name, {})
+    env = vmt.make_env(name, num_envs=2, seed=0, **kw)
+    if not physics_pallas.step_supported(env.world):
+        # Fallback path: still steps (jnp), nothing to A/B.
+        env.step(env.get_random_actions())
+        return
+    del env
+    _compare(name, n_steps=2, num_envs=2, **kw)
 
 
 def test_unsupported_configs_fall_back(pallas_interpret):

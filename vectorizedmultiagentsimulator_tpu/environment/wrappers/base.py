@@ -106,6 +106,10 @@ class BaseGymWrapper(ABC):
         )
 
     def _action_list_to_tensor(self, list_in: List) -> List:
+        if isinstance(list_in, dict):
+            # Dict-space convenience: actions keyed by agent name
+            # (the underlying Environment.step also accepts this form).
+            list_in = [list_in[agent.name] for agent in self._env.agents]
         assert len(list_in) == self._env.n_agents, (
             f"Expecting actions for {self._env.n_agents} agents,"
             f" got {len(list_in)} actions"
