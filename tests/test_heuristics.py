@@ -141,3 +141,62 @@ def test_football_ai_advances_ball(num_envs=4, n_steps=30):
         env.step(zero)
     d1 = min_dist_to_ball()
     assert d1 < d0, f"red AI never approached the ball ({d0} -> {d1})"
+
+
+def test_transport_agent_never_inside_package(num_envs=4):
+    """The agent drives straight INTO the package at full force and must
+    never end up inside it (reference
+    test_scenarios/test_transport.py:32-53; shortened 3 resets x 60 steps
+    vs the reference's 10 x 100)."""
+    env = vmt.make_env("transport", num_envs=num_envs, seed=0, n_agents=1)
+    radius = env.agents[0].shape.radius
+    u_range = env.agents[0].u_range
+    obs = env.reset()
+    for _ in range(3):
+        for _ in range(60):
+            rel = np.asarray(obs[0][:, 6:8])  # package - agent
+            dist = np.linalg.norm(rel, axis=-1)
+            assert (dist > radius).all(), (
+                "agent center entered the package"
+            )
+            act = np.clip(rel, -u_range, u_range)
+            act = act / np.linalg.norm(act, axis=-1, keepdims=True) * u_range
+            obs, rews, dones, infos = env.step([jnp.asarray(act)])
+        obs = env.reset()
+
+
+def test_discovery_respawns_covered_targets(num_envs=4):
+    """Covering a target (agents_per_target agents within covering_range)
+    respawns it elsewhere and pays the covering reward (discovery.py
+    reward-time respawn; reference discovery.py:182-206)."""
+    env = vmt.make_env(
+        "discovery", num_envs=num_envs, seed=0, n_agents=3, n_targets=2,
+        agents_per_target=2,
+    )
+    env.reset()
+    targets = [e for e in env.world.landmarks if e.name.startswith("target")]
+    t0 = jnp.asarray(targets[0].state.pos)
+    # Park two agents inside covering_range (0.25) of target 0, far enough
+    # apart (0.16 > 2 x agent radius) that they do not collide and get
+    # blasted out of range before reward time.
+    offset = jnp.asarray([0.08, 0.0])
+    env.world.agents[0].set_pos(t0 + offset, batch_index=None)
+    env.world.agents[1].set_pos(t0 - offset, batch_index=None)
+    far = jnp.full((num_envs, 2), 0.9)
+    env.world.agents[2].set_pos(far, batch_index=None)
+    acts = [jnp.zeros((num_envs, 2)) for _ in env.agents]
+    obs, rews, dones, infos = env.step(acts)
+    moved = np.linalg.norm(
+        np.asarray(targets[0].state.pos) - np.asarray(t0), axis=-1
+    )
+    assert (moved > 0.1).all(), "covered target must respawn elsewhere"
+    # Covering pays out (shared or per-agent reward is positive despite
+    # the time penalty).
+    assert (np.asarray(rews[0]) > 0).all()
+    # The uncovered target stays put (modulo nothing - it is static).
+    still = np.linalg.norm(
+        np.asarray(targets[1].state.pos)
+        - np.asarray(targets[1].state.pos),
+        axis=-1,
+    )
+    assert (still == 0).all()

@@ -32,14 +32,28 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = ENV_AXIS) -> Mes
 
 def shard_state(state, mesh: Mesh, batch_dim: int, axis_name: str = ENV_AXIS):
     """Place every batch-leading leaf of the state pytree with the env axis
-    sharded across the mesh; everything else (PRNG key) replicated."""
+    sharded across the mesh; everything else (PRNG key) replicated.
+
+    Works on multi-host (DCN) meshes too: when the mesh spans devices of
+    other processes, leaves are routed through the host (every process
+    holds the full value after the eager init reset, so the global array
+    is assembled from identical per-process copies)."""
     batch_sharding = NamedSharding(mesh, P(axis_name))
     replicated = NamedSharding(mesh, P())
+    process = jax.process_index()
+    mesh_is_local = all(
+        d.process_index == process for d in mesh.devices.flat
+    )
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_dim:
-            return jax.device_put(x, batch_sharding)
-        return jax.device_put(x, replicated)
+        sharding = (
+            batch_sharding
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_dim
+            else replicated
+        )
+        if not mesh_is_local:
+            x = np.asarray(x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(place, state)
 
