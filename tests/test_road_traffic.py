@@ -184,11 +184,7 @@ def test_done_side_effects_gated_on_reset_path():
     env.step(env.get_random_actions())
     sc.collide_agents = jnp.ones_like(sc.collide_agents)
     l0 = np.asarray(sc.isb_len).copy()
-    sc._in_reset_query = True
-    try:
-        sc.done()
-    finally:
-        sc._in_reset_query = False
+    sc.done_query(in_reset=True)
     assert (np.asarray(sc.isb_len) == l0).all(), "gated done() recorded"
     sc.done()
     assert (np.asarray(sc.isb_len) > l0).all(), "step-path done() must record"

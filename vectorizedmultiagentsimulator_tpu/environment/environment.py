@@ -127,20 +127,29 @@ class Environment:
         self.world._allow_new_extras = False
         maybe_jit = jax.jit if self._jit_compile else (lambda f, **kw: f)
 
-        def step_fn(state: WorldState, actions) -> Tuple[WorldState, tuple]:
-            self.world.bind(state)
-            outs = self._step_impl(list(actions))
-            return self.world.state, outs
+        def _functional(impl):
+            """Run ``impl`` against ``state`` bound into the world, then
+            restore whatever state the world held before the call.  The
+            bound state is only needed DURING the (traced) call; leaving
+            it behind would strand tracers in ``world._state`` whenever
+            the fn runs under an outer trace (scan rollouts, grad), and
+            the next ``env.state`` read would leak them into a fresh
+            jit (UnexpectedTracerError at check_eval_args)."""
 
-        def reset_all_fn(state: WorldState) -> Tuple[WorldState, tuple]:
-            self.world.bind(state)
-            outs = self._reset_impl(None)
-            return self.world.state, outs
+            def wrapped(state: WorldState, *rest):
+                prev = self.world._state
+                self.world.bind(state)
+                try:
+                    outs = impl(*rest)
+                    return self.world.state, outs
+                finally:
+                    self.world._state = prev
 
-        def reset_mask_fn(state: WorldState, mask) -> Tuple[WorldState, tuple]:
-            self.world.bind(state)
-            outs = self._reset_impl(mask)
-            return self.world.state, outs
+            return wrapped
+
+        step_fn = _functional(lambda actions: self._step_impl(list(actions)))
+        reset_all_fn = _functional(lambda: self._reset_impl(None))
+        reset_mask_fn = _functional(lambda mask: self._reset_impl(mask))
 
         self.step_fn = step_fn
         self.reset_fn = reset_all_fn
@@ -249,20 +258,17 @@ class Environment:
             s.replace(steps=jnp.where(mask, 0, s.steps))
         )
         # done() is queried here only to report the post-reset flags;
-        # scenarios whose done() has step side effects (e.g.
+        # scenarios whose done() has per-step side effects (e.g.
         # road_traffic's collision recording / agent re-placement) gate
-        # them on this trace-time flag so a reset never re-runs them on
-        # stale per-step state.
-        self.scenario._in_reset_query = True
-        try:
-            obs = self._get_from_scenario(
-                get_observations=True,
-                get_rewards=False,
-                get_infos=True,
-                get_dones=True,
-            )
-        finally:
-            self.scenario._in_reset_query = False
+        # them on the explicit in_reset parameter (done_query) so a reset
+        # never re-runs them on stale per-step state.
+        obs = self._get_from_scenario(
+            get_observations=True,
+            get_rewards=False,
+            get_infos=True,
+            get_dones=True,
+            in_reset=True,
+        )
         return tuple(obs)
 
     def _select_reset_outputs(
@@ -352,6 +358,7 @@ class Environment:
         get_infos: bool,
         get_dones: bool,
         dict_agent_names: Optional[bool] = None,
+        in_reset: bool = False,
     ):
         if not any((get_observations, get_rewards, get_infos, get_dones)):
             return
@@ -389,16 +396,16 @@ class Environment:
 
         if self.terminated_truncated:
             if get_dones:
-                terminated, truncated = self._done_impl()
+                terminated, truncated = self._done_impl(in_reset=in_reset)
             result = [obs, rewards, terminated, truncated, infos]
         else:
             if get_dones:
-                dones = self._done_impl()
+                dones = self._done_impl(in_reset=in_reset)
             result = [obs, rewards, dones, infos]
         return [data for data in result if data is not None]
 
-    def _done_impl(self):
-        terminated = self.scenario.done()
+    def _done_impl(self, in_reset: bool = False):
+        terminated = self.scenario.done_query(in_reset=in_reset)
         if self.max_steps is not None:
             truncated = self.world.state.steps >= self.max_steps
         else:

@@ -36,10 +36,6 @@ from vectorizedmultiagentsimulator_tpu.utils import (
 
 
 class BaseScenario(ABC):
-    # True while the Environment queries done() from a reset path (to
-    # report post-reset flags) rather than after a world step; scenarios
-    # whose done() carries per-step side effects gate them on this.
-    _in_reset_query = False
 
     def __init__(self):
         """Do not override."""
@@ -124,6 +120,17 @@ class BaseScenario(ABC):
 
     def done(self):
         return jnp.zeros((self.world.batch_dim,), dtype=bool)
+
+    def done_query(self, *, in_reset: bool = False):
+        """Driver entry for ``done()`` (non-overridable in the reference
+        sense; the Environment always calls this).  ``in_reset=True``
+        marks a reset-path query — scenarios whose ``done()`` carries
+        per-STEP side effects (e.g. road_traffic's collision recording /
+        agent re-placement, road_traffic.py:2302-2345) override this and
+        gate those effects on the flag, as an explicit functional
+        parameter instead of hidden trace-time state."""
+        del in_reset
+        return self.done()
 
     def info(self, agent: Agent) -> AGENT_INFO_TYPE:
         return {}

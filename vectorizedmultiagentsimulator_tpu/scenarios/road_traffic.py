@@ -1320,13 +1320,19 @@ class Scenario(BaseScenario):
         return obs
 
     def done(self):
+        return self._done(in_reset=False)
+
+    def done_query(self, *, in_reset: bool = False):
+        return self._done(in_reset=in_reset)
+
+    def _done(self, in_reset: bool):
         B = self.world.batch_dim
         is_collision_with_agents = jnp.any(
             self.collide_agents.reshape(B, -1), axis=-1
         )
         is_collision_with_lanelets = jnp.any(self.collide_lanelets, axis=-1)
 
-        if self._in_reset_query:
+        if in_reset:
             # Reset-path query: report the flags only.  The recording /
             # re-placement side effects below are per-STEP semantics
             # (reference runs them in done() after world.step,
