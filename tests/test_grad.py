@@ -32,7 +32,10 @@ _EXCLUDED = {"football", "simple_crypto", "road_traffic"}
 
 # Small-world overrides to keep grad-rollout compile time bounded.
 _KWARGS = {
-    "pollock": dict(n_agents=3, n_lines=2, n_boxes=2),
+    # lidar on: pollock's default obs/reward are constant zeros (its
+    # gradient w.r.t. actions is correctly identically zero); with LIDAR
+    # the loss differentiates through the ray-cast path instead.
+    "pollock": dict(n_agents=3, n_lines=2, n_boxes=2, lidar=True),
     "discovery": dict(n_agents=3, n_targets=3),
     "navigation": dict(n_agents=3),
     "flocking": dict(n_agents=3, n_obstacles=2),
@@ -48,7 +51,9 @@ def _rollout_grad(scenario, num_envs=2, n_steps=3, **kwargs):
         scenario, num_envs=num_envs, seed=0, grad_enabled=True, **kwargs
     )
     state0 = env.state
-    action_sizes = [a.action_size for a in env.agents]
+    # Full env action width (physical + comm dims for non-silent agents
+    # in dim_c worlds, e.g. simple_reference).
+    action_sizes = [env.get_agent_action_size(a) for a in env.agents]
 
     def loss(first_action):
         actions = []

@@ -142,10 +142,17 @@ def intersection_line_line(
     cross_qp_r = JaxUtils.cross(q - p, r)
     cross_qp_s = JaxUtils.cross(q - p, s)
     cross_r_s = JaxUtils.cross(r, s)
-    u = cross_qp_r / cross_r_s
-    t = cross_qp_s / cross_r_s
+    # Guarded division: parallel segments (cross_r_s == 0) would give
+    # inf/nan here — masked out of the forward result below, but the div
+    # VJP then produces 0 * inf = nan cotangents (reference semantics,
+    # core.py:2831-style where-guard).  Substitute a safe denominator and
+    # an out-of-[0,1] parameter so `in_range` rejects parallel pairs.
+    parallel = cross_r_s == 0
+    safe_den = jnp.where(parallel, 1.0, cross_r_s)
+    u = jnp.where(parallel, -1.0, cross_qp_r / safe_den)
+    t = jnp.where(parallel, -1.0, cross_qp_s / safe_den)
     in_range = (0 <= t) & (t <= 1) & (0 <= u) & (u <= 1)
-    condition = (cross_r_s != 0) & in_range  # [..., 1]
+    condition = (~parallel) & in_range  # [..., 1]
     point = jnp.where(condition, p + t * r, _INF)
     distance = jnp.where(condition[..., 0], 0.0, _INF)
     return point, distance

@@ -47,15 +47,28 @@ def cast_rays_to_box(
     ray_dir_world = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
     ray_dir_aabb = JaxUtils.rotate_vector(ray_dir_world, -br)
 
-    tx1 = (-bl / 2 - pos_aabb[..., X]) / ray_dir_aabb[..., X]
-    tx2 = (bl / 2 - pos_aabb[..., X]) / ray_dir_aabb[..., X]
-    tmin = jnp.minimum(tx1, tx2)
-    tmax = jnp.maximum(tx1, tx2)
+    def slab(half, p, d):
+        """Guarded slab interval: rays parallel to the slab (d == 0,
+        which happens for every axis-aligned LIDAR ray) would divide by
+        zero — correct in forward IEEE-inf arithmetic, but the div VJP
+        turns the masked-out cotangents into 0 * inf = nan.  Mirror the
+        inf-selection semantics with finite sentinels instead."""
+        parallel = d == 0.0
+        safe_d = jnp.where(parallel, 1.0, d)
+        t1 = (-half - p) / safe_d
+        t2 = (half - p) / safe_d
+        lo = jnp.minimum(t1, t2)
+        hi = jnp.maximum(t1, t2)
+        inside = (p >= -half) & (p <= half)
+        big = jnp.asarray(1e9, p.dtype)
+        lo = jnp.where(parallel, jnp.where(inside, -big, big), lo)
+        hi = jnp.where(parallel, jnp.where(inside, big, -big), hi)
+        return lo, hi
 
-    ty1 = (-bw / 2 - pos_aabb[..., Y]) / ray_dir_aabb[..., Y]
-    ty2 = (bw / 2 - pos_aabb[..., Y]) / ray_dir_aabb[..., Y]
-    tmin = jnp.maximum(tmin, jnp.minimum(ty1, ty2))
-    tmax = jnp.minimum(tmax, jnp.maximum(ty1, ty2))
+    tx_lo, tx_hi = slab(bl / 2, pos_aabb[..., X], ray_dir_aabb[..., X])
+    ty_lo, ty_hi = slab(bw / 2, pos_aabb[..., Y], ray_dir_aabb[..., Y])
+    tmin = jnp.maximum(tx_lo, ty_lo)
+    tmax = jnp.minimum(tx_hi, ty_hi)
 
     intersect_aabb = tmin[..., None] * ray_dir_aabb + pos_aabb
     intersect_world = JaxUtils.rotate_vector(intersect_aabb, br) + bp
@@ -131,12 +144,17 @@ def cast_rays_to_line(
     )
 
     rxs = JaxUtils.cross(r, s)
-    t = JaxUtils.cross(q - lp, s / rxs)
-    u = JaxUtils.cross(q - lp, r / rxs)
+    # Guarded division: rays parallel to the segment (rxs == 0) would give
+    # inf/nan — masked out of the result below, but the div VJP would
+    # then produce 0 * inf = nan cotangents.
+    parallel = rxs == 0.0
+    safe_rxs = jnp.where(parallel, 1.0, rxs)
+    t = JaxUtils.cross(q - lp, s / safe_rxs)
+    u = JaxUtils.cross(q - lp, r / safe_rxs)
     d = JaxUtils.safe_norm(u * s, axis=-1)
 
     miss = (
-        (rxs[..., 0] == 0.0)
+        parallel[..., 0]
         | (t[..., 0] > 0.5)
         | (t[..., 0] < -0.5)
         | (u[..., 0] < 0.0)

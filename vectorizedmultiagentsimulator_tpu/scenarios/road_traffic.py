@@ -157,21 +157,24 @@ def segments_intersect(L1, L2):
     L1 [..., N1, 2], L2 [..., N2, 2] -> bool [...]: any segment of L1
     strictly crosses any segment of L2.
     """
-    p1 = L1[..., :-1, :]
-    p2 = L1[..., 1:, :]
-    q1 = L2[..., :-1, :]
-    q2 = L2[..., 1:, :]
-
-    def cross(a, b):
-        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
-
-    # Broadcast: [..., N1-1, 1, 2] vs [..., 1, N2-1, 2]
-    p1e, p2e = p1[..., :, None, :], p2[..., :, None, :]
-    q1e, q2e = q1[..., None, :, :], q2[..., None, :, :]
-    d1 = cross(q2e - q1e, p1e - q1e)
-    d2 = cross(q2e - q1e, p2e - q1e)
-    d3 = cross(p2e - p1e, q1e - p1e)
-    d4 = cross(p2e - p1e, q2e - p1e)
+    # Component-split internally: broadcasting stacked [..., N1, 1, 2] vs
+    # [..., 1, N2, 2] diffs made XLA materialize [B, A, 4, P, 2] tuples
+    # (24% of the road_traffic step at 10k envs) before the compare+any
+    # reduce; on X/Y [..., N1-1, 1] x [..., 1, N2-1] components the whole
+    # chain fuses into the reduce.  Scalar expressions are identical to
+    # cross(q2-q1, p1-q1) etc. — bitwise-same results.
+    X1, Y1 = L1[..., 0], L1[..., 1]
+    X2, Y2 = L2[..., 0], L2[..., 1]
+    p1x, p1y = X1[..., :-1, None], Y1[..., :-1, None]
+    p2x, p2y = X1[..., 1:, None], Y1[..., 1:, None]
+    q1x, q1y = X2[..., None, :-1], Y2[..., None, :-1]
+    q2x, q2y = X2[..., None, 1:], Y2[..., None, 1:]
+    sx, sy = q2x - q1x, q2y - q1y
+    rx, ry = p2x - p1x, p2y - p1y
+    d1 = sx * (p1y - q1y) - sy * (p1x - q1x)
+    d2 = sx * (p2y - q1y) - sy * (p2x - q1x)
+    d3 = rx * (q1y - p1y) - ry * (q1x - p1x)
+    d4 = rx * (q2y - p1y) - ry * (q2x - p1x)
     hit = (d1 * d2 < 0) & (d3 * d4 < 0)
     return jnp.any(hit, axis=(-2, -1))
 
@@ -924,28 +927,27 @@ class Scenario(BaseScenario):
             self.distances_boundaries = dists["boundaries"]
             vertices = dists["vertices"]
 
-            # Agent-agent collisions (interX over all pairs)
-            collide = jnp.zeros((B, A, A), dtype=bool)
-            for i in range(A):
-                for j in range(i + 1, A):
-                    hit = segments_intersect(
-                        vertices[:, i], vertices[:, j]
-                    )
-                    collide = collide.at[:, i, j].set(hit)
-                    collide = collide.at[:, j, i].set(hit)
-            self.collide_agents = collide
+            # Agent-agent collisions: ONE batched interX over all ordered
+            # pairs instead of A*(A-1)/2 sliced calls.  Profiled at 10k
+            # envs the sliced loop was ~6% of the step in 190 separate
+            # un-fusable ops (+380 dynamic-update-slices); the batched
+            # form is a single reduce fusion.  hit(j, i) swaps the roles
+            # of (p, q), which exactly swaps (d1, d2) with (d3, d4) in
+            # the strict-crossing predicate — the boolean is symmetric
+            # and per-element arithmetic identical to the pairwise loop.
+            pair_hits = segments_intersect(
+                vertices[:, :, None], vertices[:, None, :]
+            )  # [B, A, A]
+            eye = jnp.eye(A, dtype=bool)[None]
+            self.collide_agents = pair_hits & ~eye
 
-            # Agent-boundary collisions
-            lane_hits = []
-            for i in range(A):
-                hit_l = segments_intersect(
-                    vertices[:, i], dists["left_b"][:, i]
-                )
-                hit_r = segments_intersect(
-                    vertices[:, i], dists["right_b"][:, i]
-                )
-                lane_hits.append(hit_l | hit_r)
-            self.collide_lanelets = jnp.stack(lane_hits, axis=1)
+            # Agent-boundary collisions, batched over agents (the sliced
+            # per-agent loop was ~30% of the step at 10k envs: each of
+            # the 40 calls materialized its own [B, 4, P] cross-product
+            # intermediates; batched, the compare+any fuse with them).
+            hit_l = segments_intersect(vertices, dists["left_b"])
+            hit_r = segments_intersect(vertices, dists["right_b"])
+            self.collide_lanelets = hit_l | hit_r
 
             # Entry/exit-segment crossings for non-loop paths
             # (road_traffic.py:1631-1641; loops never have them, so the
@@ -956,17 +958,12 @@ class Scenario(BaseScenario):
                 entry = self._gather(self.paths.entry)  # [B, A, 2, 2]
                 exit_ = self._gather(self.paths.exit)
                 is_loop = self._gather(self.paths.is_loop)  # [B, A]
-                entry_hits = []
-                exit_hits = []
-                for i in range(A):
-                    entry_hits.append(
-                        segments_intersect(vertices[:, i], entry[:, i])
-                    )
-                    exit_hits.append(
-                        segments_intersect(vertices[:, i], exit_[:, i])
-                    )
-                self.collide_entry = jnp.stack(entry_hits, axis=1) & ~is_loop
-                self.collide_exit = jnp.stack(exit_hits, axis=1) & ~is_loop
+                self.collide_entry = (
+                    segments_intersect(vertices, entry) & ~is_loop
+                )
+                self.collide_exit = (
+                    segments_intersect(vertices, exit_) & ~is_loop
+                )
 
         rew = jnp.zeros((B,), jnp.float32)
 
