@@ -52,6 +52,9 @@ def main():
     jax.block_until_ready(r)
 
     trace_dir = f"/tmp/vmt_prof_{scenario}_{B}"
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
     with jax.profiler.trace(trace_dir):
         r, s = fn(state0)
         jax.block_until_ready((r, s))
