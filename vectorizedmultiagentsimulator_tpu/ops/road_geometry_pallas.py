@@ -1,0 +1,619 @@
+"""Fused Pallas TPU kernel for the road_traffic path geometry.
+
+The scenario's per-step geometry (reference road_traffic.py:1441-1716 —
+perpendicular distances to the reference path and lanelet boundaries,
+short-term reference-path selection, and the ``interX`` collision tests)
+dominates the jnp step: every pass first gathers per-(env, agent)
+polylines into ``[B, A, P, 2]`` HBM intermediates (~180 MB of traffic per
+step at B=1000, A=20, P=185) that XLA streams ~20x off roofline on their
+tiny minor dims.
+
+This kernel keeps the static path tables (<200 KB) resident in VMEM and
+computes EVERYTHING per (env-block, agent) on chip:
+
+- per-agent polyline gather as a one-hot MXU matmul
+  ``[P, n_paths] @ [n_paths, TB]`` (exact 0/1 selection, HIGHEST
+  precision — same trick as the jnp path's einsum, but the gathered
+  polyline never leaves VMEM);
+- perpendicular distances from the agent center (reference path) and the
+  4 rectangle vertices + center (left/right boundaries), sharing one set
+  of polyline segment diffs per boundary;
+- short-term reference path: first-min index fold + one-hot column
+  reductions with the reference's loop-wrap semantics;
+- strict segment crossings (``interX``): rectangle x left/right boundary,
+  rectangle x entry/exit segments, and all agent-agent rectangle pairs
+  (grouped per-agent with a block-diagonal 0/1 matmul).
+
+Layout: env batch on the 128-wide lane dimension (``TB`` columns per
+block), polyline points on sublanes — every elementwise pass is a
+``[P-1, TB]`` vreg-dense tile.
+
+Gradients: ``jax.custom_vjp`` whose backward re-runs the scenario's jnp
+bundle under ``jax.vjp`` (road_traffic is not gradient-benchmarked by the
+reference, but grads stay correct).  Multi-chip: the forward is wrapped in
+``custom_partitioning`` with a batch-dim rule so GSPMD shards the env axis
+with zero collectives (same scheme as ``ops/physics_pallas.py``).
+
+Disable with ``VMT_PALLAS_GEOM=0``.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TB = 512  # env-batch tile (batch rides the lane dim)
+
+
+def geometry_enabled() -> bool:
+    flag = os.environ.get("VMT_PALLAS_GEOM")
+    if flag is not None:
+        return flag not in ("0", "false", "False")
+    if os.environ.get("VMT_PALLAS_INTERPRET") == "1":
+        return True  # interpret mode: exercised in CPU tests
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _pad_tables(paths):
+    """Pad the point dim to a sublane multiple by repeating the last row
+    (repeats are degenerate segments: inert in both the masked
+    perpendicular-distance pipeline and the strict interX test, exactly
+    like the builder's own last-point padding)."""
+    P = paths.center.shape[1]
+    P_pad = _round_up(P, 8)
+    pad = P_pad - P
+
+    def padded(t):  # [n, P, 2] -> [P_pad, n] per component
+        t = np.concatenate([t, np.repeat(t[:, -1:], pad, axis=1)], axis=1)
+        return (
+            np.ascontiguousarray(t[..., 0].T),
+            np.ascontiguousarray(t[..., 1].T),
+        )
+
+    cx, cy = padded(paths.center)
+    lx, ly = padded(paths.left)
+    rx, ry = padded(paths.right)
+    # meta rows: 0 n_points, 1 n_left, 2 n_right, 3 is_loop,
+    # 4-7 entry (p0x p0y p1x p1y), 8-11 exit
+    meta = np.stack(
+        [
+            paths.n_points.astype(np.float32),
+            paths.n_left.astype(np.float32),
+            paths.n_right.astype(np.float32),
+            paths.is_loop.astype(np.float32),
+            paths.entry[:, 0, 0],
+            paths.entry[:, 0, 1],
+            paths.entry[:, 1, 0],
+            paths.entry[:, 1, 1],
+            paths.exit[:, 0, 0],
+            paths.exit[:, 0, 1],
+            paths.exit[:, 1, 0],
+            paths.exit[:, 1, 1],
+        ],
+        axis=0,
+    ).astype(np.float32)
+    return (cx, cy, lx, ly, rx, ry, meta), P, P_pad
+
+
+def _dot(a, b):
+    """f32-exact MXU matmul (0/1 selector operands make HIGHEST exact)."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _make_agent_kernel(scn, with_collisions, P, P_pad):
+    """Per-(env-block, agent) program: polyline gathers, perpendicular
+    distances, short-term path selection and the boundary/entry/exit
+    crossings for ONE agent.  Agents ride the second grid dimension so a
+    program's live set is one gathered polyline family (~2.4 MB at
+    TB=512) instead of all A of them (the fully-unrolled first version
+    held 67 MB live and OOM'd VMEM); the table blocks' index_map is
+    constant so Mosaic skips their re-fetch between agent steps."""
+    A = scn.n_agents
+    n_p = scn.n_paths
+    K = scn.n_points_short_term
+    SI = scn.sample_interval_ref_path
+    half_w = scn.agent_width / 2.0
+    half_l = (scn.l_f + scn.l_r) / 2.0
+    compute_entry_exit = bool(
+        with_collisions
+        and (scn.map_type == "3" or scn.is_testing_mode)
+        and not all(scn.paths.is_loop)
+    )
+
+    def kernel(
+        pos_ref,
+        rot_ref,
+        pid_ref,
+        cx_ref,
+        cy_ref,
+        lx_ref,
+        ly_ref,
+        rx_ref,
+        ry_ref,
+        meta_ref,
+        *out_refs,
+    ):
+        if with_collisions:
+            ref_o, la_o, ra_o, bd_o, st_o, lane_o, ent_o, ext_o = out_refs
+        else:
+            ref_o, la_o, ra_o, bd_o, st_o = out_refs
+
+        # Mosaic requires block sublane heights divisible by 8 (or full),
+        # so inputs/outputs arrive as full [rows, TB] blocks revisited
+        # across the agent grid dim; each program addresses its agent's
+        # rows with dynamic slices.
+        a = pl.program_id(1)
+        TB = pos_ref.shape[1]
+        # Mosaic iota must be integer-typed; cast to f32 for the compares.
+        iota_paths = jax.lax.broadcasted_iota(
+            jnp.int32, (n_p, 1), 0
+        ).astype(jnp.float32)
+        seg_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (P_pad - 1, 1), 0
+        ).astype(jnp.float32)
+        p_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (P_pad, 1), 0
+        ).astype(jnp.float32)
+
+        def polyline_segs(Xp, Yp):
+            x0, y0 = Xp[:-1], Yp[:-1]
+            dx, dy = Xp[1:] - x0, Yp[1:] - y0
+            lsq = dx * dx + dy * dy + 1e-8
+            return x0, y0, dx, dy, lsq
+
+        def perp_d(px, py, segs, n):
+            """Masked per-segment distances [P_pad-1, TB] (the in-VMEM
+            form of get_perpendicular_distances, same arithmetic)."""
+            x0, y0, dx, dy, lsq = segs
+            pvx, pvy = px - x0, py - y0
+            t = jnp.clip((pvx * dx + pvy * dy) / lsq, 0.0, 1.0)
+            cx = x0 + dx * t - px
+            cy = y0 + dy * t - py
+            d = jnp.sqrt(cx * cx + cy * cy)
+            end_idx = jnp.maximum(n - 2.0, 0.0)
+            d_end = jnp.sum(
+                d * (seg_iota == end_idx), axis=0, keepdims=True
+            )
+            return jnp.where(seg_iota >= n - 1.0, d_end, d)
+
+        def seg_cross_any(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
+            """Strict crossing of segment p against segment array q,
+            reduced over q's rows -> [1, TB] 0/1 (interX semantics)."""
+            sx, sy = q2x - q1x, q2y - q1y
+            rx_, ry_ = p2x - p1x, p2y - p1y
+            d1 = sx * (p1y - q1y) - sy * (p1x - q1x)
+            d2 = sx * (p2y - q1y) - sy * (p2x - q1x)
+            d3 = rx_ * (q1y - p1y) - ry_ * (q1x - p1x)
+            d4 = rx_ * (q2y - p1y) - ry_ * (q2x - p1x)
+            hit = ((d1 * d2 < 0) & (d3 * d4 < 0)).astype(jnp.float32)
+            return jnp.max(hit, axis=0, keepdims=True)
+
+        px = pos_ref[pl.ds(2 * a, 1), :]
+        py = pos_ref[pl.ds(2 * a + 1, 1), :]
+        th = rot_ref[pl.ds(a, 1), :]
+        pid = pid_ref[pl.ds(a, 1), :]
+
+        onehot = (iota_paths == pid).astype(jnp.float32)  # [n_p, TB]
+        gcx = _dot(cx_ref[:], onehot)  # [P_pad, TB]
+        gcy = _dot(cy_ref[:], onehot)
+        glx = _dot(lx_ref[:], onehot)
+        gly = _dot(ly_ref[:], onehot)
+        grx = _dot(rx_ref[:], onehot)
+        gry = _dot(ry_ref[:], onehot)
+        mg = _dot(meta_ref[:], onehot)  # [12, TB]
+        n_c = mg[0:1, :]
+        n_l = mg[1:2, :]
+        n_r = mg[2:3, :]
+        loop_f = mg[3:4, :]
+
+        # --- reference-path distance + closest index --- #
+        segs_c = polyline_segs(gcx, gcy)
+        d_c = perp_d(px, py, segs_c, n_c)
+        dmin = jnp.min(d_c, axis=0, keepdims=True)
+        ref_o[pl.ds(a, 1), :] = dmin
+        # First index within EPS of the min (the tie-tolerant rule of
+        # get_perpendicular_distances — see the note there).
+        idx = (
+            jnp.min(
+                jnp.where(d_c <= dmin + 1e-5, seg_iota, 1e9),
+                axis=0,
+                keepdims=True,
+            )
+            + 1.0
+        )
+
+        # --- short-term reference path --- #
+        for k in range(K):
+            fut = idx + float(k * SI + 1)
+            wrapped = jnp.mod(fut + 1.0, n_c)
+            fut = jnp.where(
+                (loop_f > 0) & (fut >= n_c - 1.0), wrapped, fut
+            )
+            fut = jnp.clip(fut, 0.0, float(P - 1))
+            mask = (p_iota == fut).astype(jnp.float32)  # [P_pad, TB]
+            st_o[pl.ds(2 * K * a + 2 * k, 1), :] = jnp.sum(
+                gcx * mask, axis=0, keepdims=True
+            )
+            st_o[pl.ds(2 * K * a + 2 * k + 1, 1), :] = jnp.sum(
+                gcy * mask, axis=0, keepdims=True
+            )
+
+        # --- rectangle vertices (closed shape) --- #
+        cos_t, sin_t = jnp.cos(th), jnp.sin(th)
+        vxs, vys = [], []
+        # Rotate-then-translate in the same association as the jnp
+        # path's get_rectangle_vertices (bit-exact parity).
+        for bx, by in _CORNERS(half_l, half_w):
+            vxs.append(bx * cos_t - by * sin_t + px)
+            vys.append(bx * sin_t + by * cos_t + py)
+
+        # --- boundary distances (center + 4 vertices) --- #
+        segs_l = polyline_segs(glx, gly)
+        segs_r = polyline_segs(grx, gry)
+        pts = [(px, py)] + list(zip(vxs[:4], vys[:4]))
+        mins = []
+        for side, (segs, n_s) in enumerate(
+            ((segs_l, n_l), (segs_r, n_r))
+        ):
+            out_ref_s = la_o if side == 0 else ra_o
+            for j, (qx, qy) in enumerate(pts):
+                dmin_s = jnp.min(
+                    perp_d(qx, qy, segs, n_s), axis=0, keepdims=True
+                )
+                if j == 0:
+                    dmin_s = dmin_s - half_w
+                out_ref_s[pl.ds(5 * a + j, 1), :] = dmin_s
+                mins.append(dmin_s)
+        bd = mins[0]
+        for m in mins[1:]:
+            bd = jnp.minimum(bd, m)
+        bd_o[pl.ds(a, 1), :] = bd
+
+        if with_collisions:
+            # --- rectangle x boundary crossings --- #
+            hit = jnp.zeros((1, TB), jnp.float32)
+            for qx, qy in ((glx, gly), (grx, gry)):
+                q1x, q1y = qx[:-1], qy[:-1]
+                q2x, q2y = qx[1:], qy[1:]
+                for s in range(4):
+                    hit = jnp.maximum(
+                        hit,
+                        seg_cross_any(
+                            vxs[s], vys[s], vxs[s + 1], vys[s + 1],
+                            q1x, q1y, q2x, q2y,
+                        ),
+                    )
+            lane_o[pl.ds(a, 1), :] = hit
+
+            # --- entry / exit segment crossings --- #
+            if compute_entry_exit:
+                not_loop = 1.0 - loop_f
+                for rows, o_ref in ((4, ent_o), (8, ext_o)):
+                    h = jnp.zeros((1, TB), jnp.float32)
+                    for s in range(4):
+                        h = jnp.maximum(
+                            h,
+                            seg_cross_any(
+                                vxs[s], vys[s], vxs[s + 1], vys[s + 1],
+                                mg[rows : rows + 1, :],
+                                mg[rows + 1 : rows + 2, :],
+                                mg[rows + 2 : rows + 3, :],
+                                mg[rows + 3 : rows + 4, :],
+                            ),
+                        )
+                    o_ref[pl.ds(a, 1), :] = h * not_loop
+            else:
+                ent_o[pl.ds(a, 1), :] = jnp.zeros((1, TB), jnp.float32)
+                ext_o[pl.ds(a, 1), :] = jnp.zeros((1, TB), jnp.float32)
+
+    return kernel
+
+
+def _CORNERS(half_l, half_w):
+    return (
+        (half_l, half_w),
+        (half_l, -half_w),
+        (-half_l, -half_w),
+        (-half_l, half_w),
+        (half_l, half_w),
+    )
+
+
+def _make_pair_kernel(scn):
+    """Per-env-block program: all agents' rectangle vertices + the
+    agent-agent strict-crossing matrix (all vertex rows are [1, TB] —
+    tiny, so the whole-block live set stays ~1 MB)."""
+    A = scn.n_agents
+    half_w = scn.agent_width / 2.0
+    half_l = (scn.l_f + scn.l_r) / 2.0
+
+    def kernel(pos_ref, rot_ref, g_ref, vt_o, ag_o):
+        TB = pos_ref.shape[1]
+        iota_A = jax.lax.broadcasted_iota(
+            jnp.int32, (A, 1), 0
+        ).astype(jnp.float32)
+
+        all_vx = [[None] * 5 for _ in range(A)]
+        all_vy = [[None] * 5 for _ in range(A)]
+        for a in range(A):
+            px = pos_ref[2 * a : 2 * a + 1, :]
+            py = pos_ref[2 * a + 1 : 2 * a + 2, :]
+            th = rot_ref[a : a + 1, :]
+            cos_t, sin_t = jnp.cos(th), jnp.sin(th)
+            for v, (bx, by) in enumerate(_CORNERS(half_l, half_w)):
+                # same association as get_rectangle_vertices (bit-exact)
+                vx = bx * cos_t - by * sin_t + px
+                vy = bx * sin_t + by * cos_t + py
+                all_vx[a][v] = vx
+                all_vy[a][v] = vy
+                vt_o[a * 10 + 2 * v : a * 10 + 2 * v + 1, :] = vx
+                vt_o[a * 10 + 2 * v + 1 : a * 10 + 2 * v + 2, :] = vy
+
+        # All agents' segment endpoints stacked on sublanes [4A, TB];
+        # self-pairs are degenerate (shared endpoints / identical
+        # segments give d==0, never a strict crossing) but are masked to
+        # match the jnp path's ~eye exactly.
+        q1x = jnp.concatenate(
+            [all_vx[j][s] for j in range(A) for s in range(4)], axis=0
+        )
+        q1y = jnp.concatenate(
+            [all_vy[j][s] for j in range(A) for s in range(4)], axis=0
+        )
+        q2x = jnp.concatenate(
+            [all_vx[j][s + 1] for j in range(A) for s in range(4)],
+            axis=0,
+        )
+        q2y = jnp.concatenate(
+            [all_vy[j][s + 1] for j in range(A) for s in range(4)],
+            axis=0,
+        )
+        for i in range(A):
+            acc = jnp.zeros((4 * A, TB), jnp.float32)
+            for s in range(4):
+                p1x, p1y = all_vx[i][s], all_vy[i][s]
+                p2x, p2y = all_vx[i][s + 1], all_vy[i][s + 1]
+                sx, sy = q2x - q1x, q2y - q1y
+                rx_, ry_ = p2x - p1x, p2y - p1y
+                d1 = sx * (p1y - q1y) - sy * (p1x - q1x)
+                d2 = sx * (p2y - q1y) - sy * (p2x - q1x)
+                d3 = rx_ * (q1y - p1y) - ry_ * (q1x - p1x)
+                d4 = rx_ * (q2y - p1y) - ry_ * (q2x - p1x)
+                acc = jnp.maximum(
+                    acc,
+                    ((d1 * d2 < 0) & (d3 * d4 < 0)).astype(jnp.float32),
+                )
+            pair = _dot(g_ref[:], acc)  # [A, TB] counts per agent j
+            pair = jnp.where(iota_A == float(i), 0.0, pair)
+            ag_o[i * A : (i + 1) * A, :] = (pair > 0).astype(jnp.float32)
+
+    return kernel
+
+
+def _geom_tables(scn):
+    """Padded transposed table operands (+ the block-diagonal grouping
+    matrix for the pair-collision reduce), cached on the scenario."""
+    cached = scn.__dict__.get("_geom_tables_cache")
+    if cached is None:
+        tables, P, P_pad = _pad_tables(scn.paths)
+        A = scn.n_agents
+        G = np.zeros((A, 4 * A), np.float32)
+        for j in range(A):
+            G[j, 4 * j : 4 * (j + 1)] = 1.0
+        cached = (
+            tuple(jnp.asarray(t) for t in tables) + (jnp.asarray(G),),
+            P,
+            P_pad,
+        )
+        scn.__dict__["_geom_tables_cache"] = cached
+    return cached
+
+
+def _pallas_forward(scn, with_collisions, pos, rot, pidf, *tables):
+    B, A = pos.shape[0], pos.shape[1]
+    K = scn.n_points_short_term
+    _, P, P_pad = _geom_tables(scn)
+    n_p = scn.n_paths
+    interpret = os.environ.get("VMT_PALLAS_INTERPRET") == "1"
+    path_tables, g_table = tables[:7], tables[7]
+
+    pos_t = jnp.moveaxis(pos, 0, -1).reshape(2 * A, B)
+    rot_t = jnp.moveaxis(rot, 0, -1).reshape(A, B)
+    pid_t = jnp.moveaxis(pidf, 0, -1).reshape(A, B)
+
+    # --- per-(env-block, agent) kernel --- #
+    # Blocks span the full row dim (Mosaic needs sublane heights
+    # divisible by 8 or full); the agent grid dim is fastest, so the
+    # env-block's output blocks are revisited A times (each program
+    # writes its own agent's rows) and flushed when the env block moves.
+    def full_spec(height):
+        return pl.BlockSpec(
+            (height, _TB), lambda i, a: (0, i), memory_space=pltpu.VMEM
+        )
+
+    def tab_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, a: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    out_rows = [1, 5, 5, 1, 2 * K]
+    if with_collisions:
+        out_rows += [1, 1, 1]
+
+    out = pl.pallas_call(
+        _make_agent_kernel(scn, with_collisions, P, P_pad),
+        grid=(pl.cdiv(B, _TB), A),
+        in_specs=[full_spec(2 * A), full_spec(A), full_spec(A)]
+        + [tab_spec((P_pad, n_p))] * 6
+        + [tab_spec((12, n_p))],
+        out_specs=[full_spec(r * A) for r in out_rows],
+        out_shape=[
+            jax.ShapeDtypeStruct((r * A, B), jnp.float32)
+            for r in out_rows
+        ],
+        interpret=interpret,
+    )(pos_t, rot_t, pid_t, *path_tables)
+
+    def unpack(x, shape):
+        return jnp.moveaxis(x.reshape(shape + (B,)), -1, 0)
+
+    ref = unpack(out[0], (A,))
+    la = unpack(out[1], (A, 5))
+    ra = unpack(out[2], (A, 5))
+    bd = unpack(out[3], (A,))
+    st = unpack(out[4], (A, K, 2))
+    if not with_collisions:
+        return ref, la, ra, bd, st
+    lane = unpack(out[5], (A,))
+    ent = unpack(out[6], (A,))
+    ext = unpack(out[7], (A,))
+
+    # --- per-env-block pair kernel (vertices + agent-agent interX) --- #
+    def col_spec(height):
+        return pl.BlockSpec(
+            (height, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    vt_t, ag_t = pl.pallas_call(
+        _make_pair_kernel(scn),
+        grid=(pl.cdiv(B, _TB),),
+        in_specs=[
+            col_spec(2 * A),
+            col_spec(A),
+            pl.BlockSpec(
+                (A, 4 * A), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[col_spec(10 * A), col_spec(A * A)],
+        out_shape=[
+            jax.ShapeDtypeStruct((10 * A, B), jnp.float32),
+            jax.ShapeDtypeStruct((A * A, B), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pos_t, rot_t, g_table)
+
+    vt = unpack(vt_t, (A, 5, 2))
+    ag = unpack(ag_t, (A, A))
+    return ref, la, ra, bd, st, vt, lane, ent, ext, ag
+
+
+def _partitioned_forward(scn, with_collisions):
+    """Batch-dim GSPMD rule (see ops/physics_pallas.py:736): without it a
+    sharded step compiles with all-gathers around the custom call."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_out = 10 if with_collisions else 5
+
+    @custom_partitioning
+    def fwd(pos, rot, pidf, *tables):
+        return _pallas_forward(scn, with_collisions, pos, rot, pidf,
+                               *tables)
+
+    def _batch_only(sharding, ndim):
+        spec = getattr(sharding, "spec", None)
+        b = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(
+            sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1)))
+        )
+
+    def _replicated(sharding, ndim):
+        return NamedSharding(
+            sharding.mesh, PartitionSpec(*([None] * ndim))
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        return tuple(
+            _batch_only(arg_shapes[0].sharding, r.ndim)
+            for r in result_shape
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _batch_only(a.sharding, a.ndim) for a in arg_shapes[:3]
+        ) + tuple(
+            _replicated(a.sharding, a.ndim) for a in arg_shapes[3:]
+        )
+        result_shardings = tuple(
+            _batch_only(arg_shapes[0].sharding, r.ndim)
+            for r in result_shape
+        )
+
+        def lower_fn(*args):
+            return _pallas_forward(scn, with_collisions, *args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    outs = ", ".join(
+        [
+            "b a2 k2 i" if i == 4 else
+            "b a3 v i2" if i == 5 else
+            "b a4 a5" if i == 9 else
+            f"b a{i} f{i}" if i in (1, 2) else
+            f"b x{i}"
+            for i in range(n_out)
+        ]
+    )
+    tabs = ", ".join([f"p{j} n{j}" for j in range(8)])
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=f"b a i, b a, b a, {tabs} -> {outs}",
+    )
+    return fwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_geometry(scn, with_collisions, pos, rot, pidf):
+    """All per-step road_traffic path geometry as one Pallas kernel.
+
+    Returns f32 arrays (collision flags as 0/1): with_collisions=True ->
+    (ref, left_all, right_all, boundaries, short_term, vertices,
+    collide_lanelets, collide_entry, collide_exit, collide_agents);
+    False -> the first 5 (reset paths never need the crossings).
+    """
+    key = f"_fused_geom_{int(with_collisions)}"
+    fwd = scn.__dict__.get(key)
+    if fwd is None:
+        fwd = _partitioned_forward(scn, with_collisions)
+        scn.__dict__[key] = fwd
+    tables, _, _ = _geom_tables(scn)
+    return fwd(pos, rot, pidf, *tables)
+
+
+def _fwd(scn, with_collisions, pos, rot, pidf):
+    out = fused_geometry(scn, with_collisions, pos, rot, pidf)
+    return out, (pos, rot, pidf)
+
+
+def _bwd(scn, with_collisions, residuals, g):
+    pos, rot, pidf = residuals
+
+    def core(p, r):
+        return scn._bundle_jnp_pure(
+            p, r, pidf.astype(jnp.int32), with_collisions
+        )
+
+    _, vjp = jax.vjp(core, pos, rot)
+    gp, gr = vjp(g)
+    return gp, gr, jnp.zeros_like(pidf)
+
+
+fused_geometry.defvjp(_fwd, _bwd)

@@ -98,7 +98,12 @@ def get_perpendicular_distances(point, polyline, n_points):
     t = jnp.clip((pvx * dx + pvy * dy) / line_lens_sq, 0.0, 1.0)
     cx = x0 + dx * t - px
     cy = y0 + dy * t - py
-    d = jnp.sqrt(cx * cx + cy * cy)  # [..., P-1]
+    # Safe norm (forward-identical): agents spawn exactly ON the path, so
+    # the closest-segment distance is exactly 0 and a bare sqrt would put
+    # an inf subgradient into every reward/obs vjp (torch-style 0
+    # subgradient instead, cf. JaxUtils.safe_norm).
+    sq = cx * cx + cy * cy
+    d = jnp.where(sq > 0, jnp.sqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
     # Segments at/after the true end take the distance of segment n-2
     # (road_traffic.py:3440-3445).  One-hot reduce instead of
     # take_along_axis: the gather forces a T(8,128) relayout of d while
@@ -109,7 +114,14 @@ def get_perpendicular_distances(point, polyline, n_points):
     d_end = jnp.sum(d * one_hot_end, axis=-1, keepdims=True)
     d = jnp.where(seg_idx >= (n_points - 1)[..., None], d_end, d)
     dist = jnp.min(d, axis=-1)
-    idx = jnp.argmin(d, axis=-1) + 1
+    # First index within EPS of the min instead of a plain argmin: agents
+    # spawn exactly on polyline vertices, where the two adjacent segments
+    # tie at ulp level and the winner would be decided by compiler FMA/
+    # fusion choices (jnp vs the fused Pallas kernel flipped on ~2% of
+    # reset poses).  EPS=1e-5 is sub-micrometre in world units.
+    idx = (
+        jnp.argmax(d <= (dist + 1e-5)[..., None], axis=-1) + 1
+    )
     return dist, idx
 
 
@@ -473,17 +485,19 @@ class Scenario(BaseScenario):
     # ------------------------------------------------------------------ #
     # Gathered per-agent path data
     # ------------------------------------------------------------------ #
-    def _gather(self, table):
+    def _gather(self, table, path_id=None):
         """table [n_paths, ...] indexed by path_id [B, A] -> [B, A, ...].
 
         Float tables ride a one-hot MXU matmul (the row gather from the
         40-path polyline tables was memory-layout-bound at ~126us/step
         each for B=1000, A=20); integer/bool tables use a plain gather.
         """
+        if path_id is None:
+            path_id = self.path_id
         t = jnp.asarray(table)
         if jnp.issubdtype(t.dtype, jnp.floating) and t.ndim >= 2:
             n = t.shape[0]
-            one_hot = (self.path_id[..., None] == jnp.arange(n)).astype(
+            one_hot = (path_id[..., None] == jnp.arange(n)).astype(
                 t.dtype
             )  # [B, A, n_paths]
             flat = t.reshape(n, -1)
@@ -493,8 +507,8 @@ class Scenario(BaseScenario):
                 flat,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            return out.reshape(self.path_id.shape + t.shape[1:])
-        return t[self.path_id]
+            return out.reshape(path_id.shape + t.shape[1:])
+        return t[path_id]
 
     # ------------------------------------------------------------------ #
     # State snapshots + circular buffers (map_type '2'; the reference's
@@ -796,7 +810,9 @@ class Scenario(BaseScenario):
         rotations = jnp.stack(
             [a.state.rot[:, 0] for a in self.world.agents], axis=1
         )
-        short_term, dists = self._compute_geometry(positions, rotations)
+        dist_ref, left_all, right_all, boundaries, short_term = (
+            self._geometry_bundle(positions, rotations, False)
+        )
 
         def init_or_mask(name, value):
             if env_index is None:
@@ -813,10 +829,10 @@ class Scenario(BaseScenario):
         init_or_mask("short_term", short_term)
         init_or_mask("prev_pos", positions)
         init_or_mask("distances_agents", self._mutual_distances(positions))
-        init_or_mask("distances_ref", dists["ref"])
-        init_or_mask("distances_left_b", dists["left_all"])
-        init_or_mask("distances_right_b", dists["right_all"])
-        init_or_mask("distances_boundaries", dists["boundaries"])
+        init_or_mask("distances_ref", dist_ref)
+        init_or_mask("distances_left_b", left_all)
+        init_or_mask("distances_right_b", right_all)
+        init_or_mask("distances_boundaries", boundaries)
         init_or_mask(
             "collide_agents", jnp.zeros((B, A, A), dtype=bool)
         )
@@ -840,19 +856,19 @@ class Scenario(BaseScenario):
         eye = jnp.eye(self.n_agents, dtype=bool)[None]
         return jnp.where(eye, big, d)
 
-    def _compute_geometry(self, positions, rotations):
-        """All per-agent path geometry for the current poses.
+    def _compute_geometry(self, positions, rotations, path_id=None):
+        """All per-agent path geometry for the current poses (jnp path).
 
         positions [B, A, 2], rotations [B, A] ->
         (short_term [B, A, n_short, 2], dists dict)
         """
-        long_term = self._gather(self.paths.center)  # [B, A, P, 2]
-        left_b = self._gather(self.paths.left)
-        right_b = self._gather(self.paths.right)
-        n_pts = self._gather(self.paths.n_points)
-        n_left = self._gather(self.paths.n_left)
-        n_right = self._gather(self.paths.n_right)
-        is_loop = self._gather(self.paths.is_loop)
+        long_term = self._gather(self.paths.center, path_id)  # [B,A,P,2]
+        left_b = self._gather(self.paths.left, path_id)
+        right_b = self._gather(self.paths.right, path_id)
+        n_pts = self._gather(self.paths.n_points, path_id)
+        n_left = self._gather(self.paths.n_left, path_id)
+        n_right = self._gather(self.paths.n_right, path_id)
+        is_loop = self._gather(self.paths.is_loop, path_id)
 
         dist_ref, idx_ref = get_perpendicular_distances(
             positions, long_term, n_pts
@@ -905,6 +921,86 @@ class Scenario(BaseScenario):
         }
 
     # ------------------------------------------------------------------ #
+    # Geometry bundle: everything reward()/reset need in one call, either
+    # via the fused Pallas kernel (ops/road_geometry_pallas.py) or the
+    # jnp path above.  Outputs are f32 (collision flags 0/1).
+    # ------------------------------------------------------------------ #
+    def _bundle_jnp_pure(
+        self, positions, rotations, path_id, with_collisions
+    ):
+        """(ref, left_all, right_all, boundaries, short_term[, vertices,
+        collide_lanelets, collide_entry, collide_exit, collide_agents])
+        as pure f32 arrays — the jnp reference for the fused kernel and
+        its custom-VJP backward."""
+        A = self.n_agents
+        short_term, dists = self._compute_geometry(
+            positions, rotations, path_id
+        )
+        base = (
+            dists["ref"],
+            dists["left_all"],
+            dists["right_all"],
+            dists["boundaries"],
+            short_term,
+        )
+        if not with_collisions:
+            return base
+        vertices = dists["vertices"]
+        # Agent-agent collisions: ONE batched interX over all ordered
+        # pairs (see the profiling note in the r1 reward body); hit(j, i)
+        # swaps (p, q) which swaps (d1, d2) with (d3, d4) — symmetric.
+        pair_hits = segments_intersect(
+            vertices[:, :, None], vertices[:, None, :]
+        )  # [B, A, A]
+        eye = jnp.eye(A, dtype=bool)[None]
+        collide_agents = (pair_hits & ~eye).astype(jnp.float32)
+        hit_l = segments_intersect(vertices, dists["left_b"])
+        hit_r = segments_intersect(vertices, dists["right_b"])
+        collide_lanelets = (hit_l | hit_r).astype(jnp.float32)
+        B = positions.shape[0]
+        if (self.map_type == "3" or self.is_testing_mode) and not all(
+            self.paths.is_loop
+        ):
+            # Entry/exit-segment crossings for non-loop paths
+            # (road_traffic.py:1631-1641; loops never have them).
+            entry = self._gather(self.paths.entry, path_id)  # [B,A,2,2]
+            exit_ = self._gather(self.paths.exit, path_id)
+            is_loop = self._gather(self.paths.is_loop, path_id)
+            collide_entry = (
+                segments_intersect(vertices, entry) & ~is_loop
+            ).astype(jnp.float32)
+            collide_exit = (
+                segments_intersect(vertices, exit_) & ~is_loop
+            ).astype(jnp.float32)
+        else:
+            collide_entry = jnp.zeros((B, A), jnp.float32)
+            collide_exit = jnp.zeros((B, A), jnp.float32)
+        return base + (
+            vertices,
+            collide_lanelets,
+            collide_entry,
+            collide_exit,
+            collide_agents,
+        )
+
+    def _geometry_bundle(self, positions, rotations, with_collisions):
+        from vectorizedmultiagentsimulator_tpu.ops import (
+            road_geometry_pallas as rgp,
+        )
+
+        if rgp.geometry_enabled():
+            return rgp.fused_geometry(
+                self,
+                with_collisions,
+                positions,
+                rotations,
+                self.path_id.astype(jnp.float32),
+            )
+        return self._bundle_jnp_pure(
+            positions, rotations, self.path_id, with_collisions
+        )
+
+    # ------------------------------------------------------------------ #
     def reward(self, agent):
         agent_index = self.world.agents.index(agent)
         is_first = agent_index == 0
@@ -919,51 +1015,30 @@ class Scenario(BaseScenario):
                 [a.state.rot[:, 0] for a in self.world.agents], axis=1
             )
             self.distances_agents = self._mutual_distances(positions)
-            new_short, dists = self._compute_geometry(positions, rotations)
+            (
+                dist_ref,
+                left_all,
+                right_all,
+                boundaries,
+                new_short,
+                _vertices,
+                coll_lane,
+                coll_entry,
+                coll_exit,
+                coll_agents,
+            ) = self._geometry_bundle(positions, rotations, True)
             self._new_short_term = new_short  # applied after rewarding
-            self.distances_ref = dists["ref"]
-            self.distances_left_b = dists["left_all"]
-            self.distances_right_b = dists["right_all"]
-            self.distances_boundaries = dists["boundaries"]
-            vertices = dists["vertices"]
-
-            # Agent-agent collisions: ONE batched interX over all ordered
-            # pairs instead of A*(A-1)/2 sliced calls.  Profiled at 10k
-            # envs the sliced loop was ~6% of the step in 190 separate
-            # un-fusable ops (+380 dynamic-update-slices); the batched
-            # form is a single reduce fusion.  hit(j, i) swaps the roles
-            # of (p, q), which exactly swaps (d1, d2) with (d3, d4) in
-            # the strict-crossing predicate — the boolean is symmetric
-            # and per-element arithmetic identical to the pairwise loop.
-            pair_hits = segments_intersect(
-                vertices[:, :, None], vertices[:, None, :]
-            )  # [B, A, A]
-            eye = jnp.eye(A, dtype=bool)[None]
-            self.collide_agents = pair_hits & ~eye
-
-            # Agent-boundary collisions, batched over agents (the sliced
-            # per-agent loop was ~30% of the step at 10k envs: each of
-            # the 40 calls materialized its own [B, 4, P] cross-product
-            # intermediates; batched, the compare+any fuse with them).
-            hit_l = segments_intersect(vertices, dists["left_b"])
-            hit_r = segments_intersect(vertices, dists["right_b"])
-            self.collide_lanelets = hit_l | hit_r
-
-            # Entry/exit-segment crossings for non-loop paths
-            # (road_traffic.py:1631-1641; loops never have them, so the
-            # computation is statically skipped when every path loops).
+            self.distances_ref = dist_ref
+            self.distances_left_b = left_all
+            self.distances_right_b = right_all
+            self.distances_boundaries = boundaries
+            self.collide_agents = coll_agents > 0.5
+            self.collide_lanelets = coll_lane > 0.5
             if (self.map_type == "3" or self.is_testing_mode) and not all(
                 self.paths.is_loop
             ):
-                entry = self._gather(self.paths.entry)  # [B, A, 2, 2]
-                exit_ = self._gather(self.paths.exit)
-                is_loop = self._gather(self.paths.is_loop)  # [B, A]
-                self.collide_entry = (
-                    segments_intersect(vertices, entry) & ~is_loop
-                )
-                self.collide_exit = (
-                    segments_intersect(vertices, exit_) & ~is_loop
-                )
+                self.collide_entry = coll_entry > 0.5
+                self.collide_exit = coll_exit > 0.5
 
         if is_first:
             # Batched reward for ALL agents at once ([B, A] elementwise,
@@ -1497,7 +1572,9 @@ class Scenario(BaseScenario):
         rotations = jnp.stack(
             [a.state.rot[:, 0] for a in self.world.agents], axis=1
         )
-        short_term, dists = self._compute_geometry(positions, rotations)
+        dist_ref, left_all, right_all, boundaries, short_term = (
+            self._geometry_bundle(positions, rotations, False)
+        )
 
         def mask_update(name, value):
             old = getattr(self, name)
@@ -1506,10 +1583,10 @@ class Scenario(BaseScenario):
 
         mask_update("short_term", short_term)
         mask_update("distances_agents", self._mutual_distances(positions))
-        mask_update("distances_ref", dists["ref"])
-        mask_update("distances_left_b", dists["left_all"])
-        mask_update("distances_right_b", dists["right_all"])
-        mask_update("distances_boundaries", dists["boundaries"])
+        mask_update("distances_ref", dist_ref)
+        mask_update("distances_left_b", left_all)
+        mask_update("distances_right_b", right_all)
+        mask_update("distances_boundaries", boundaries)
         # The reference's state_buffer reset also refreshes the "previous"
         # positions used by the progress reward, so a teleport never counts
         # as progress.
