@@ -179,20 +179,24 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
             lsq = dx * dx + dy * dy + 1e-8
             return x0, y0, dx, dy, lsq
 
-        def perp_d(px, py, segs, n):
-            """Masked per-segment distances [P_pad-1, TB] (the in-VMEM
-            form of get_perpendicular_distances, same arithmetic)."""
+        def perp_dsq(px, py, segs, n):
+            """Masked per-segment SQUARED distances [P_pad-1, TB] (the
+            in-VMEM form of get_perpendicular_distances).  sqrt is
+            hoisted past the min by the callers — sqrt is monotone and
+            correctly rounded, so sqrt(min(d^2)) == min(sqrt(d^2))
+            bitwise and the [P-1, TB] sqrt pass (~18% of the kernel)
+            collapses to one [1, TB] sqrt per reduction."""
             x0, y0, dx, dy, lsq = segs
             pvx, pvy = px - x0, py - y0
             t = jnp.clip((pvx * dx + pvy * dy) / lsq, 0.0, 1.0)
             cx = x0 + dx * t - px
             cy = y0 + dy * t - py
-            d = jnp.sqrt(cx * cx + cy * cy)
+            dsq = cx * cx + cy * cy
             end_idx = jnp.maximum(n - 2.0, 0.0)
             d_end = jnp.sum(
-                d * (seg_iota == end_idx), axis=0, keepdims=True
+                dsq * (seg_iota == end_idx), axis=0, keepdims=True
             )
-            return jnp.where(seg_iota >= n - 1.0, d_end, d)
+            return jnp.where(seg_iota >= n - 1.0, d_end, dsq)
 
         def seg_cross_any(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
             """Strict crossing of segment p against segment array q,
@@ -226,14 +230,16 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
 
         # --- reference-path distance + closest index --- #
         segs_c = polyline_segs(gcx, gcy)
-        d_c = perp_d(px, py, segs_c, n_c)
-        dmin = jnp.min(d_c, axis=0, keepdims=True)
+        dsq_c = perp_dsq(px, py, segs_c, n_c)
+        dmin = jnp.sqrt(jnp.min(dsq_c, axis=0, keepdims=True))
         ref_o[pl.ds(a, 1), :] = dmin
         # First index within EPS of the min (the tie-tolerant rule of
-        # get_perpendicular_distances — see the note there).
+        # get_perpendicular_distances — see the note there), tested in
+        # squared space: d <= thr  <=>  d^2 <= thr^2 for nonnegatives.
+        thr = dmin + 1e-5
         idx = (
             jnp.min(
-                jnp.where(d_c <= dmin + 1e-5, seg_iota, 1e9),
+                jnp.where(dsq_c <= thr * thr, seg_iota, 1e9),
                 axis=0,
                 keepdims=True,
             )
@@ -275,8 +281,12 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
         ):
             out_ref_s = la_o if side == 0 else ra_o
             for j, (qx, qy) in enumerate(pts):
-                dmin_s = jnp.min(
-                    perp_d(qx, qy, segs, n_s), axis=0, keepdims=True
+                dmin_s = jnp.sqrt(
+                    jnp.min(
+                        perp_dsq(qx, qy, segs, n_s),
+                        axis=0,
+                        keepdims=True,
+                    )
                 )
                 if j == 0:
                     dmin_s = dmin_s - half_w
