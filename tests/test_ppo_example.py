@@ -1,0 +1,50 @@
+"""The TPU-native PPO example: one fully-jitted train iteration
+(rollout scan + masked auto-resets + GAE + epoch/minibatch updates)."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+
+flax = pytest.importorskip("flax")
+
+from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (  # noqa: E402
+    PPOConfig,
+    init_training,
+)
+
+
+def test_ppo_train_step_runs_and_updates():
+    cfg = PPOConfig(rollout_steps=8, epochs=2, minibatches=2, hidden=16)
+    env, train_step, carry = init_training(
+        "dispersion", num_envs=16, cfg=cfg
+    )
+    p0 = np.asarray(jax.tree_util.tree_leaves(carry[2])[0]).copy()
+    for _ in range(2):
+        carry, metrics = train_step(carry)
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["mean_reward"]))
+    p1 = np.asarray(jax.tree_util.tree_leaves(carry[2])[0])
+    assert np.abs(p1 - p0).sum() > 0
+
+
+def test_ppo_improves_on_shaped_reward():
+    """navigation's dense pos-shaping reward should increase within a
+    few iterations even at toy scale."""
+    cfg = PPOConfig(rollout_steps=32, epochs=2, minibatches=2, hidden=32)
+    env, train_step, carry = init_training(
+        "navigation", num_envs=64, cfg=cfg, n_agents=2
+    )
+    first, last = None, None
+    for it in range(6):
+        carry, metrics = train_step(carry)
+        r = float(metrics["mean_reward"])
+        if it == 0:
+            first = r
+        last = r
+    assert np.isfinite(last)
+    assert last > first - 0.05, (first, last)
