@@ -32,6 +32,20 @@ def test_ppo_train_step_runs_and_updates():
     assert np.abs(p1 - p0).sum() > 0
 
 
+def test_ppo_heterogeneous_agents_and_comm():
+    """Per-agent obs widths, action widths and communication dims
+    (speaker: comm-only; listener: movement-only) all train through the
+    padded + masked stacked path."""
+    cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2, hidden=16)
+    for scenario in ("simple_adversary", "simple_speaker_listener"):
+        env, train_step, carry = init_training(
+            scenario, num_envs=8, cfg=cfg
+        )
+        carry, metrics = train_step(carry)
+        assert np.isfinite(float(metrics["loss"])), scenario
+        assert np.isfinite(float(metrics["mean_reward"])), scenario
+
+
 def test_ppo_improves_on_shaped_reward():
     """navigation's dense pos-shaping reward should increase within a
     few iterations even at toy scale."""

@@ -10,8 +10,12 @@ pytree).  No host round-trips inside an iteration; multi-chip data
 parallelism is one `jax.sharding` constraint away (see
 `parallel/sharding.shard_environment`).
 
-Agents share one actor-critic MLP (homogeneous scenarios); each agent's
-transition is a training sample.
+Agents share one actor-critic MLP; each agent's transition is a training
+sample.  Heterogeneous scenarios (per-agent observation/action sizes,
+e.g. the MPE adversary games) are handled by zero-padding observations to
+the widest agent and appending a one-hot agent ID, with a per-agent
+action-dimension mask so padded action dims carry no log-prob/entropy —
+everything stays one stacked [A, B, ...] computation.
 
 Run:  python -m vectorizedmultiagentsimulator_tpu.examples.jax_ppo \
           [scenario] [num_envs] [iterations]
@@ -70,14 +74,37 @@ class ActorCritic(nn.Module if nn else object):
         return mean, log_std, value
 
 
-def _gaussian_logp(mean, log_std, action):
+def _gaussian_logp(mean, log_std, action, mask):
     var = jnp.exp(2 * log_std)
     return jnp.sum(
-        -0.5 * ((action - mean) ** 2 / var)
-        - log_std
-        - 0.5 * jnp.log(2 * jnp.pi),
+        (
+            -0.5 * ((action - mean) ** 2 / var)
+            - log_std
+            - 0.5 * jnp.log(2 * jnp.pi)
+        )
+        * mask,
         axis=-1,
     )
+
+
+def make_obs_padder(env):
+    """Stack per-agent observations into one [A, B, Dmax + A] array:
+    zero-pad each agent's obs to the widest and append a one-hot agent
+    ID (so shared parameters can condition on the role)."""
+    A = env.n_agents
+
+    def pad(obs):
+        dmax = max(o.shape[-1] for o in obs)
+        rows = []
+        for i, o in enumerate(obs):
+            o = jnp.asarray(o, jnp.float32)
+            one_hot = jnp.zeros(o.shape[:-1] + (A,), o.dtype)
+            one_hot = one_hot.at[..., i].set(1.0)
+            fill = jnp.zeros(o.shape[:-1] + (dmax - o.shape[-1],), o.dtype)
+            rows.append(jnp.concatenate([o, fill, one_hot], axis=-1))
+        return jnp.stack(rows)
+
+    return pad
 
 
 def make_train_step(env, cfg: PPOConfig, model, optimizer):
@@ -88,11 +115,22 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
     """
     A = env.n_agents
     B = env.num_envs
-    u_range = jnp.asarray(env.agents[0].action.u_range_tensor)
-    act_dim = env.agents[0].action_size
+    u_ranges = [
+        jnp.asarray(a.action.u_range_tensor, jnp.float32)
+        for a in env.agents
+    ]
+    # full per-agent action width: physical dims + communication dims
+    act_dims = [env.get_agent_action_size(a) for a in env.agents]
+    phys_dims = [a.action_size for a in env.agents]
+    act_max = max(act_dims)
+    # [A, act_max] mask: 1 on an agent's real action dims, 0 on padding
+    act_mask = jnp.asarray(
+        [[1.0] * d + [0.0] * (act_max - d) for d in act_dims], jnp.float32
+    )
     step_fn = env.step_fn
     reset_at_fn = env.reset_at_fn
     T = cfg.rollout_steps
+    pad_obs = make_obs_padder(env)
 
     def policy_step(carry, _):
         state, obs, params, key = carry
@@ -100,20 +138,32 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         mean, log_std, value = model.apply(params, obs)  # [A, B, ...]
         noise = jax.random.normal(k_act, mean.shape)
         action = mean + jnp.exp(log_std) * noise
-        logp = _gaussian_logp(mean, log_std, action)
+        logp = _gaussian_logp(mean, log_std, action, act_mask[:, None])
         env_action = tuple(
-            jnp.clip(action[i], -u_range, u_range) for i in range(A)
+            jnp.concatenate(
+                [
+                    jnp.clip(
+                        action[i, :, : phys_dims[i]],
+                        -u_ranges[i],
+                        u_ranges[i],
+                    ),
+                    # communication dims live in [0, 1]
+                    jnp.clip(
+                        action[i, :, phys_dims[i] : act_dims[i]], 0.0, 1.0
+                    ),
+                ],
+                axis=-1,
+            )
+            for i in range(A)
         )
         state, (new_obs, rews, dones, _) = step_fn(state, env_action)
         # masked auto-reset of finished envs (kept inside the scan: the
         # whole rollout stays one XLA while-op, no host sync on dones)
         state, reset_outs = reset_at_fn(state, dones)
         reset_obs = reset_outs[0]
-        new_obs = tuple(
-            jnp.where(dones[:, None], reset_obs[i], new_obs[i])
-            for i in range(A)
-        )
-        new_obs = jnp.stack(new_obs)  # [A, B, D]
+        new_obs = pad_obs(new_obs)
+        reset_obs = pad_obs(reset_obs)
+        new_obs = jnp.where(dones[None, :, None], reset_obs, new_obs)
         rews = jnp.stack(rews)  # [A, B]
         trans = {
             "obs": obs,
@@ -152,7 +202,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
 
     def loss_fn(params, batch):
         mean, log_std, value = model.apply(params, batch["obs"])
-        logp = _gaussian_logp(mean, log_std, batch["action"])
+        logp = _gaussian_logp(mean, log_std, batch["action"], batch["mask"])
         ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -161,7 +211,13 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
             jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv,
         ).mean()
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
-        ent = jnp.mean(jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), -1))
+        ent = jnp.mean(
+            jnp.sum(
+                (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+                * batch["mask"],
+                -1,
+            )
+        )
         loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
         return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent}
 
@@ -184,6 +240,13 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
             "logp": flat(traj["logp"]),
             "adv": flat(adv),
             "ret": flat(ret),
+            # flat() lays samples out as (T, A, B): sample i belongs to
+            # agent (i // B) % A
+            "mask": flat(
+                jnp.broadcast_to(
+                    act_mask[None, :, None, :], (T, A, B, act_max)
+                )
+            ),
         }
         n = T * A * B
         mb = n // cfg.minibatches
@@ -233,13 +296,8 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
     env = vmt.make_env(scenario, num_envs=num_envs, seed=seed,
                        **scenario_kwargs)
     obs0 = env.reset(seed=seed)
-    shapes = {tuple(np.asarray(o).shape) for o in obs0}
-    assert len(shapes) == 1, (
-        "shared-parameter PPO needs homogeneous agent observations; "
-        f"got {shapes}"
-    )
-    obs = jnp.stack([jnp.asarray(o) for o in obs0])  # [A, B, D]
-    act_dim = env.agents[0].action_size
+    obs = make_obs_padder(env)(obs0)  # [A, B, Dmax + A]
+    act_dim = max(env.get_agent_action_size(a) for a in env.agents)
     model = ActorCritic(action_dim=act_dim, hidden=cfg.hidden)
     params = model.init(jax.random.PRNGKey(seed), obs)
     optimizer = optax.chain(
