@@ -46,6 +46,27 @@ def test_ppo_heterogeneous_agents_and_comm():
         assert np.isfinite(float(metrics["mean_reward"])), scenario
 
 
+def test_ppo_data_parallel_over_mesh():
+    """The whole train iteration runs sharded over an 8-device 'envs'
+    mesh (conftest provisions virtual CPU devices); the env state stays
+    sharded across iterations."""
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(onp.asarray(devices[:8]), ("envs",))
+    cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2, hidden=16)
+    env, train_step, carry = init_training(
+        "dispersion", num_envs=16, cfg=cfg, mesh=mesh
+    )
+    carry, metrics = train_step(carry)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "envs" in str(carry[0].pos.sharding.spec)
+    assert "envs" in str(carry[1].sharding.spec)
+
+
 def test_ppo_improves_on_shaped_reward():
     """navigation's dense pos-shaping reward should increase within a
     few iterations even at toy scale."""

@@ -290,8 +290,16 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
 
 
 def init_training(scenario="dispersion", num_envs=512, seed=0,
-                  cfg: PPOConfig = PPOConfig(), **scenario_kwargs):
-    """Build env + model + optimizer and the jitted train_step."""
+                  cfg: PPOConfig = PPOConfig(), mesh=None,
+                  **scenario_kwargs):
+    """Build env + model + optimizer and the jitted train_step.
+
+    ``mesh``: an optional ``jax.sharding.Mesh`` with an ``"envs"`` axis.
+    The environment state and rollout batch are sharded over it, so the
+    whole training iteration runs data-parallel across chips — the
+    rollout needs zero collectives (envs are independent); GSPMD inserts
+    the gradient/minibatch reductions.
+    """
     assert nn is not None, "flax/optax required for the PPO example"
     env = vmt.make_env(scenario, num_envs=num_envs, seed=seed,
                        **scenario_kwargs)
@@ -305,6 +313,20 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
         optax.adam(cfg.lr),
     )
     opt_state = optimizer.init(params)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vectorizedmultiagentsimulator_tpu.parallel import (
+            shard_environment,
+        )
+
+        shard_environment(env, mesh)
+        obs = jax.device_put(
+            obs, NamedSharding(mesh, P(None, "envs", None))
+        )
+        replicated = NamedSharding(mesh, P())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
     train_step = make_train_step(env, cfg, model, optimizer)
     carry = (env.state, obs, params, opt_state, jax.random.PRNGKey(seed))
     return env, train_step, carry
