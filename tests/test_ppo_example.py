@@ -46,6 +46,21 @@ def test_ppo_heterogeneous_agents_and_comm():
         assert np.isfinite(float(metrics["mean_reward"])), scenario
 
 
+def test_ppo_discrete_actions():
+    """continuous_actions=False trains through the categorical head,
+    including a heterogeneous comm scenario."""
+    cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2, hidden=16)
+    for scenario in ("dispersion", "simple_speaker_listener"):
+        env, train_step, carry = init_training(
+            scenario, num_envs=8, cfg=cfg, continuous_actions=False
+        )
+        p0 = np.asarray(jax.tree_util.tree_leaves(carry[2])[0]).copy()
+        carry, metrics = train_step(carry)
+        assert np.isfinite(float(metrics["loss"])), scenario
+        p1 = np.asarray(jax.tree_util.tree_leaves(carry[2])[0])
+        assert np.abs(p1 - p0).sum() > 0
+
+
 def test_ppo_data_parallel_over_mesh():
     """The whole train iteration runs sharded over an 8-device 'envs'
     mesh (conftest provisions virtual CPU devices); the env state stays

@@ -15,7 +15,9 @@ sample.  Heterogeneous scenarios (per-agent observation/action sizes,
 e.g. the MPE adversary games) are handled by zero-padding observations to
 the widest agent and appending a one-hot agent ID, with a per-agent
 action-dimension mask so padded action dims carry no log-prob/entropy —
-everything stays one stacked [A, B, ...] computation.
+everything stays one stacked [A, B, ...] computation.  Both action modes
+work: Gaussian for ``continuous_actions=True`` (the default), a masked
+categorical head for ``continuous_actions=False``.
 
 Run:  python -m vectorizedmultiagentsimulator_tpu.examples.jax_ppo \
           [scenario] [num_envs] [iterations]
@@ -54,7 +56,9 @@ class PPOConfig(NamedTuple):
 
 
 class ActorCritic(nn.Module if nn else object):
-    """Shared-parameter actor-critic: obs -> (mean, log_std, value)."""
+    """Shared-parameter actor-critic: obs -> (mean-or-logits, log_std,
+    value).  In discrete mode the first head is read as categorical
+    logits and log_std is unused."""
 
     action_dim: int
     hidden: int = 64
@@ -119,14 +123,25 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         jnp.asarray(a.action.u_range_tensor, jnp.float32)
         for a in env.agents
     ]
-    # full per-agent action width: physical dims + communication dims
-    act_dims = [env.get_agent_action_size(a) for a in env.agents]
-    phys_dims = [a.action_size for a in env.agents]
-    act_max = max(act_dims)
-    # [A, act_max] mask: 1 on an agent's real action dims, 0 on padding
-    act_mask = jnp.asarray(
-        [[1.0] * d + [0.0] * (act_max - d) for d in act_dims], jnp.float32
-    )
+    discrete = not env.continuous_actions
+    if discrete:
+        # one categorical head over the widest agent's action count;
+        # additive -inf mask hides choices an agent doesn't have
+        ns = [env.get_agent_action_space(a).n for a in env.agents]
+        act_max = max(ns)
+        act_mask = jnp.asarray(
+            [[0.0] * n + [-1e9] * (act_max - n) for n in ns], jnp.float32
+        )
+    else:
+        # full per-agent action width: physical dims + communication dims
+        act_dims = [env.get_agent_action_size(a) for a in env.agents]
+        phys_dims = [a.action_size for a in env.agents]
+        act_max = max(act_dims)
+        # [A, act_max] mask: 1 on an agent's real action dims, 0 on pad
+        act_mask = jnp.asarray(
+            [[1.0] * d + [0.0] * (act_max - d) for d in act_dims],
+            jnp.float32,
+        )
     step_fn = env.step_fn
     reset_at_fn = env.reset_at_fn
     T = cfg.rollout_steps
@@ -136,26 +151,36 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         state, obs, params, key = carry
         key, k_act = jax.random.split(key)
         mean, log_std, value = model.apply(params, obs)  # [A, B, ...]
-        noise = jax.random.normal(k_act, mean.shape)
-        action = mean + jnp.exp(log_std) * noise
-        logp = _gaussian_logp(mean, log_std, action, act_mask[:, None])
-        env_action = tuple(
-            jnp.concatenate(
-                [
-                    jnp.clip(
-                        action[i, :, : phys_dims[i]],
-                        -u_ranges[i],
-                        u_ranges[i],
-                    ),
-                    # communication dims live in [0, 1]
-                    jnp.clip(
-                        action[i, :, phys_dims[i] : act_dims[i]], 0.0, 1.0
-                    ),
-                ],
-                axis=-1,
+        if discrete:
+            logits = mean + act_mask[:, None]
+            action = jax.random.categorical(k_act, logits)  # [A, B] int
+            logp = jnp.take_along_axis(
+                jax.nn.log_softmax(logits), action[..., None], axis=-1
+            )[..., 0]
+            env_action = tuple(action[i][:, None] for i in range(A))
+        else:
+            noise = jax.random.normal(k_act, mean.shape)
+            action = mean + jnp.exp(log_std) * noise
+            logp = _gaussian_logp(mean, log_std, action, act_mask[:, None])
+            env_action = tuple(
+                jnp.concatenate(
+                    [
+                        jnp.clip(
+                            action[i, :, : phys_dims[i]],
+                            -u_ranges[i],
+                            u_ranges[i],
+                        ),
+                        # communication dims live in [0, 1]
+                        jnp.clip(
+                            action[i, :, phys_dims[i] : act_dims[i]],
+                            0.0,
+                            1.0,
+                        ),
+                    ],
+                    axis=-1,
+                )
+                for i in range(A)
             )
-            for i in range(A)
-        )
         state, (new_obs, rews, dones, _) = step_fn(state, env_action)
         # masked auto-reset of finished envs (kept inside the scan: the
         # whole rollout stays one XLA while-op, no host sync on dones)
@@ -202,7 +227,23 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
 
     def loss_fn(params, batch):
         mean, log_std, value = model.apply(params, batch["obs"])
-        logp = _gaussian_logp(mean, log_std, batch["action"], batch["mask"])
+        if discrete:
+            logits = jax.nn.log_softmax(mean + batch["mask"])
+            logp = jnp.take_along_axis(
+                logits, batch["action"][:, None], axis=-1
+            )[:, 0]
+            ent_term = -jnp.sum(jnp.exp(logits) * logits, axis=-1).mean()
+        else:
+            logp = _gaussian_logp(
+                mean, log_std, batch["action"], batch["mask"]
+            )
+            ent_term = jnp.mean(
+                jnp.sum(
+                    (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
+                    * batch["mask"],
+                    -1,
+                )
+            )
         ratio = jnp.exp(logp - batch["logp"])
         adv = batch["adv"]
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -211,15 +252,8 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
             jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv,
         ).mean()
         vf = 0.5 * jnp.mean((value - batch["ret"]) ** 2)
-        ent = jnp.mean(
-            jnp.sum(
-                (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
-                * batch["mask"],
-                -1,
-            )
-        )
-        loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent
-        return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent}
+        loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent_term
+        return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent_term}
 
     def train_step(carry):
         state, obs, params, opt_state, key = carry
@@ -305,7 +339,11 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
                        **scenario_kwargs)
     obs0 = env.reset(seed=seed)
     obs = make_obs_padder(env)(obs0)  # [A, B, Dmax + A]
-    act_dim = max(env.get_agent_action_size(a) for a in env.agents)
+    if env.continuous_actions:
+        act_dim = max(env.get_agent_action_size(a) for a in env.agents)
+    else:
+        # categorical head over the widest agent's action count
+        act_dim = max(env.get_agent_action_space(a).n for a in env.agents)
     model = ActorCritic(action_dim=act_dim, hidden=cfg.hidden)
     params = model.init(jax.random.PRNGKey(seed), obs)
     optimizer = optax.chain(
