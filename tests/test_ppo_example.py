@@ -83,18 +83,19 @@ def test_ppo_data_parallel_over_mesh():
 
 
 def test_ppo_improves_on_shaped_reward():
-    """navigation's dense pos-shaping reward should increase within a
-    few iterations even at toy scale."""
+    """navigation's dense pos-shaping reward must actually increase:
+    the mean of the last 3 iterations beats the mean of the first 3
+    (single-iteration rewards are noisy at toy scale; the run is
+    deterministic, measured margin ~6e-3 against iteration noise
+    ~4e-3)."""
     cfg = PPOConfig(rollout_steps=32, epochs=2, minibatches=2, hidden=32)
     env, train_step, carry = init_training(
         "navigation", num_envs=64, cfg=cfg, n_agents=2
     )
-    first, last = None, None
-    for it in range(6):
+    rewards = []
+    for _ in range(14):
         carry, metrics = train_step(carry)
         r = float(metrics["mean_reward"])
-        if it == 0:
-            first = r
-        last = r
-    assert np.isfinite(last)
-    assert last > first - 0.05, (first, last)
+        assert np.isfinite(r)
+        rewards.append(r)
+    assert np.mean(rewards[-3:]) > np.mean(rewards[:3]), rewards

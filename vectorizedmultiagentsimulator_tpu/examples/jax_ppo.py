@@ -201,28 +201,20 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         return (state, new_obs, params, key), trans
 
     def compute_gae(traj, last_value):
-        def body(carry, t):
+        def body(carry, xs):
             gae, next_value = carry
-            delta = (
-                traj["rew"][t]
-                + cfg.gamma * next_value * (1 - traj["done"][t])
-                - traj["value"][t]
-            )
-            gae = (
-                delta
-                + cfg.gamma
-                * cfg.gae_lambda
-                * (1 - traj["done"][t])
-                * gae
-            )
-            return (gae, traj["value"][t]), gae
+            rew, done, value = xs
+            not_done = 1 - done
+            delta = rew + cfg.gamma * next_value * not_done - value
+            gae = delta + cfg.gamma * cfg.gae_lambda * not_done * gae
+            return (gae, value), gae
 
         (_, _), adv = jax.lax.scan(
             body,
             (jnp.zeros_like(last_value), last_value),
-            jnp.arange(T)[::-1],
+            (traj["rew"], traj["done"], traj["value"]),
+            reverse=True,
         )
-        adv = adv[::-1]
         return adv, adv + traj["value"]
 
     def loss_fn(params, batch):
@@ -284,6 +276,11 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         }
         n = T * A * B
         mb = n // cfg.minibatches
+        assert n % cfg.minibatches == 0, (
+            f"rollout_steps*n_agents*num_envs ({T}*{A}*{B}={n}) must be"
+            f" divisible by minibatches ({cfg.minibatches}) or samples"
+            " would be silently dropped"
+        )
 
         def epoch(carry2, k):
             params, opt_state = carry2
@@ -320,7 +317,12 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         }
         return (state, obs, params, opt_state, key), metrics
 
-    return jax.jit(train_step, donate_argnums=0)
+    # No buffer donation: carry[0] aliases env.state, and donating it
+    # would delete the env object's live buffers on the first call
+    # (breaking later imperative env.step()/render() use on TPU, where
+    # donation is real).  Rebind env.state = carry[0] and donate if you
+    # need the memory at very large num_envs.
+    return jax.jit(train_step)
 
 
 def init_training(scenario="dispersion", num_envs=512, seed=0,
@@ -342,10 +344,19 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
     if env.continuous_actions:
         act_dim = max(env.get_agent_action_size(a) for a in env.agents)
     else:
+        assert not env.multidiscrete_actions, (
+            "the PPO example supports continuous or flat Discrete"
+            " actions; use continuous_actions=True or drop"
+            " multidiscrete_actions"
+        )
         # categorical head over the widest agent's action count
         act_dim = max(env.get_agent_action_space(a).n for a in env.agents)
     model = ActorCritic(action_dim=act_dim, hidden=cfg.hidden)
-    params = model.init(jax.random.PRNGKey(seed), obs)
+    # one root key, folded into independent streams: the env's state key
+    # chain already consumed PRNGKey(seed) via reset(seed=seed), so give
+    # weight-init and the rollout distinct derived keys (use-once rule)
+    root = jax.random.PRNGKey(seed)
+    params = model.init(jax.random.fold_in(root, 1), obs)
     optimizer = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.lr),
@@ -366,7 +377,7 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
         params = jax.device_put(params, replicated)
         opt_state = jax.device_put(opt_state, replicated)
     train_step = make_train_step(env, cfg, model, optimizer)
-    carry = (env.state, obs, params, opt_state, jax.random.PRNGKey(seed))
+    carry = (env.state, obs, params, opt_state, jax.random.fold_in(root, 2))
     return env, train_step, carry
 
 
