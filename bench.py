@@ -16,8 +16,25 @@ import os
 import sys
 import time
 
+def _cpu_fingerprint() -> str:
+    """Key the compile cache by host CPU features: XLA:CPU AOT entries
+    from a host with different features crash (SIGILL) when loaded
+    after a VM migration."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nofp"
+
+
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/vmt_jax")
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser(f"~/.cache/vmt_jax_{_cpu_fingerprint()}"),
 )
 
 import jax
