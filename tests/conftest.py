@@ -7,29 +7,14 @@ import os
 # virtual 8-device CPU mesh; the driver separately dry-runs
 # __graft_entry__.dryrun_multichip.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Persistent compilation cache: the golden-parity suite compiles several
-# large unrolled physics graphs; caching makes repeat runs fast.  The
-# default dir is keyed by a host-CPU fingerprint: XLA:CPU AOT entries
-# from a host with different CPU features crash (SIGILL) on load after
-# a VM migration (seen 2026-08-17).
-
-
-def _cpu_fingerprint() -> str:
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:8]
-    except OSError:
-        pass
-    return "nofp"
-
-
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", f"/tmp/jax_cache_vmt_{_cpu_fingerprint()}"
-)
+# Persistent compilation cache: OPT-IN via JAX_COMPILATION_CACHE_DIR.
+# Not defaulted on: XLA:CPU executable serialization has segfaulted
+# mid-suite on some hosts (put_executable_and_time writing the huge
+# road_traffic step after ~150 tests, 2026-08-17), and cross-host AOT
+# entries can SIGILL on load after a VM migration.  A plain `pytest
+# tests/` therefore runs cache-less (as the reference suite does);
+# developers who want fast reruns export the env var explicitly.
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -41,10 +26,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# sitecustomize may have imported jax before this file ran, in which case
-# the env vars above were read too late — set the config directly too.
-jax.config.update(
-    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if _CACHE_DIR:
+    # sitecustomize may have imported jax before this file ran, in which
+    # case the env var was read too late — set the config directly too.
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

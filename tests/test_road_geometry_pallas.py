@@ -15,6 +15,18 @@ import vectorizedmultiagentsimulator_tpu as vmt
 from vectorizedmultiagentsimulator_tpu.ops import road_geometry_pallas as rgp
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Serializing this module's huge road_traffic step executable for
+    the persistent cache has segfaulted mid-suite (XLA:CPU
+    put_executable_and_time, 2026-08-17); keep the cache off for these
+    tests only."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 @pytest.fixture()
 def geom_interpret(monkeypatch):
     monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
