@@ -41,6 +41,17 @@ import jax
 import jax.numpy as jnp
 
 import vectorizedmultiagentsimulator_tpu as vmt
+from vectorizedmultiagentsimulator_tpu.utils.backend_probe import (
+    ensure_reachable_backend,
+)
+
+# The remote-TPU tunnel can be down; jax backend init then hangs forever.
+# Probe it in a subprocess and degrade to a CPU run (reduced steps) rather
+# than hang the whole bench.
+_PLATFORM = ensure_reachable_backend()
+_CPU_FALLBACK = _PLATFORM == "cpu" and "axon" in os.environ.get(
+    "JAX_PLATFORMS", ""
+)
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 30_000))
 # 1000 steps per scan: the remote-TPU tunnel adds a fixed ~30 ms to every
@@ -49,6 +60,11 @@ NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 30_000))
 # while a 100-step scan reports ~470 us/step wall).  1000 steps amortizes
 # it to <10%.
 N_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
+if _CPU_FALLBACK:
+    # Keep the fallback bounded: fewer envs/steps, still a valid
+    # steady-state throughput measurement of the same pipeline.
+    NUM_ENVS = int(os.environ.get("BENCH_CPU_FALLBACK_ENVS", 8192))
+    N_STEPS = int(os.environ.get("BENCH_CPU_FALLBACK_STEPS", 100))
 REFERENCE_EPS = 296_000.0  # simple_spread 30k envs on RTX 2080 Ti
 
 # All-pairs stress scenes: long single-program scans at large batch trip
@@ -121,7 +137,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"{scenario}_env_steps_per_sec_{NUM_ENVS}envs",
+                "metric": f"{scenario}_env_steps_per_sec_{NUM_ENVS}envs"
+                + ("_cpu_fallback" if _CPU_FALLBACK else ""),
                 "value": round(eps),
                 "unit": "env-steps/s",
                 "vs_baseline": round(eps / REFERENCE_EPS, 2),
