@@ -1,6 +1,7 @@
 """Software-rasterizer geoms: TextLine overlays and comm messages
 (reference rendering.py:277-313 TextLine + environment.py:1023-1055
 comm-message rendering)."""
+import math
 import numpy as np
 
 import vectorizedmultiagentsimulator_tpu as vmt
@@ -52,3 +53,47 @@ def test_observer_abc():
     obs.unsubscribe(p)
     obs.notify_observers()
     assert Probe.hits == 1
+
+
+def test_make_ellipse_sector():
+    from vectorizedmultiagentsimulator_tpu import render as rendering
+
+    g = rendering.make_circle(radius=0.1, angle=math.pi / 2, filled=True)
+    # Partial angle -> polygon wedge closed through the centre.
+    assert type(g).__name__ == "Polygon"
+    assert g.points[-1] == (0.0, 0.0)
+    full = rendering.make_circle(radius=0.1)
+    assert type(full).__name__ == "Circle"
+
+
+def test_x_to_rgb_colormap():
+    from vectorizedmultiagentsimulator_tpu.utils import x_to_rgb_colormap
+
+    out = x_to_rgb_colormap(np.linspace(0.0, 1.0, 9), alpha=0.5)
+    assert out.shape == (9, 4)
+    assert np.allclose(out[:, 3], 0.5)
+    assert (out[:, :3] >= 0).all() and (out[:, :3] <= 1).all()
+
+
+def test_render_agent_indices_and_shooting_overlay():
+    env = vmt.make_env(
+        "football",
+        num_envs=2,
+        seed=0,
+        n_blue_agents=2,
+        n_red_agents=2,
+        enable_shooting=True,
+    )
+    env.step(env.get_random_actions())
+    frame = env.render(mode="rgb_array", env_index=0)
+    assert frame.std() > 0
+    # Index labels: one per blue agent (reds and ball excluded).
+    from vectorizedmultiagentsimulator_tpu.utils import ScenarioUtils
+
+    scenario = env.scenario
+    geoms = ScenarioUtils.render_agent_indices(
+        scenario, 0, start_from=1,
+        exclude=scenario.red_agents + [scenario.ball],
+    )
+    assert len(geoms) == 2
+    assert [g.text for g in geoms] == ["1", "2"]

@@ -21,6 +21,7 @@ from vectorizedmultiagentsimulator_tpu.render.rasterizer import (
     joint_geoms,
     lidar_geoms,
     make_circle,
+    make_ellipse,
     make_line,
     make_polygon,
     render_function_util,
@@ -41,6 +42,7 @@ __all__ = [
     "joint_geoms",
     "lidar_geoms",
     "make_circle",
+    "make_ellipse",
     "make_line",
     "make_polygon",
     "render_function_util",

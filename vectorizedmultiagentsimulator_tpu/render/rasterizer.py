@@ -456,8 +456,25 @@ def joint_geoms(constraint, env_index: int = 0) -> List[Geom]:
 # ------------------------------------------------------------------ #
 def make_circle(radius: float = 10, res: int = 30, filled: bool = True,
                 angle: float = 2 * math.pi) -> Geom:
-    del res, angle
+    if angle % (2 * math.pi) != 0:  # sector (e.g. football shooting cone)
+        return make_ellipse(radius, radius, res=res, filled=filled,
+                            angle=angle)
+    del res
     return Circle(center=(0.0, 0.0), radius=radius, filled=filled)
+
+
+def make_ellipse(radius_x: float = 10, radius_y: float = 5, res: int = 30,
+                 filled: bool = True, angle: float = 2 * math.pi) -> Geom:
+    """Ellipse/sector polygon (reference rendering.py make_ellipse): arc
+    points spanning [-angle/2, angle/2], closed through the centre when the
+    angle is partial."""
+    points = []
+    for i in range(res):
+        a = -angle / 2 + angle * i / res
+        points.append((math.cos(a) * radius_x, math.sin(a) * radius_y))
+    if angle % (2 * math.pi) != 0:
+        points.append((0.0, 0.0))
+    return Polygon(points=points, filled=filled)
 
 
 def make_polygon(v, filled: bool = True) -> Polygon:

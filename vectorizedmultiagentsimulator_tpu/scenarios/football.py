@@ -1066,6 +1066,57 @@ class Scenario(BaseScenario):
             xform.set_rotation(rot)
             g.set_color(*color.value if isinstance(color, Color) else color)
             geoms.append(g)
+
+        # Blue-agent index labels (reference football.py:1528-1531).
+        geoms += ScenarioUtils.render_agent_indices(
+            self,
+            env_index,
+            start_from=1,
+            exclude=self.red_agents + [self.ball],
+        )
+
+        # Shooting cone + kick-intensity bar (reference football.py:1533-1568).
+        if self.enable_shooting:
+            for agent in self.blue_agents:
+                color = agent.color
+                if isinstance(color, Color):
+                    color = color.value
+                within = bool(
+                    np.asarray(agent.ball_within_angle)[env_index]
+                ) and bool(np.asarray(agent.ball_within_range)[env_index])
+                sector_color = Color.PINK.value if within else color
+                pos = tuple(np.asarray(agent.state.pos)[env_index])
+                rot = float(np.asarray(agent.state.rot)[env_index, 0])
+
+                sector = rendering.make_circle(
+                    radius=self.shooting_radius,
+                    angle=self.shooting_angle,
+                    filled=True,
+                )
+                xform = rendering.Transform()
+                xform.set_rotation(rot)
+                xform.set_translation(*pos)
+                sector.add_attr(xform)
+                sector.set_color(*sector_color[:3], alpha=0.5 / 2)
+                geoms.append(sector)
+
+                shoot_intensity = float(
+                    np.linalg.norm(np.asarray(agent.shoot_force)[env_index])
+                ) / (self.u_shoot_multiplier * 2)
+                l, r, t, b = (
+                    0,
+                    self.shooting_radius * shoot_intensity,
+                    self.agent_size / 2,
+                    -self.agent_size / 2,
+                )
+                bar = rendering.make_polygon([(l, b), (l, t), (r, t), (r, b)])
+                xform = rendering.Transform()
+                xform.set_rotation(rot)
+                xform.set_translation(*pos)
+                bar.add_attr(xform)
+                bar.set_color(*color[:3], alpha=0.5)
+                geoms.append(bar)
+
         return geoms
 
 

@@ -152,6 +152,32 @@ class JaxUtils:
         raise NotImplementedError(f"Invalid type of data {data}")
 
     @staticmethod
+    def recursive_clone(value):
+        """Structure-preserving copy (reference utils.py:215-220).
+
+        JAX arrays are immutable, so "cloning" only needs to rebuild the
+        container structure; the leaves can be shared safely. Provided
+        for drop-in migration of code that cloned obs/info dicts.
+        """
+        if isinstance(value, Dict):
+            return {k: JaxUtils.recursive_clone(v) for k, v in value.items()}
+        if isinstance(value, (list, tuple)):
+            return type(value)(JaxUtils.recursive_clone(v) for v in value)
+        return value
+
+    @staticmethod
+    def recursive_require_grad_(value):
+        """Migration shim for reference utils.py:222-231.
+
+        Torch needs ``requires_grad_()`` flipped on leaf tensors before
+        autograd tracks them; JAX differentiates any function of its
+        inputs via ``jax.grad`` with no per-array flag (the Environment's
+        ``grad_enabled`` gates ``stop_gradient`` instead). Returns the
+        input unchanged so ported call sites keep working.
+        """
+        return value
+
+    @staticmethod
     def select_by_index(stacked: Array, idx: Array) -> Array:
         """``stacked[b, idx[b]]`` for ``stacked [B, K, ...]``, ``idx [B]``,
         as an unrolled where-fold over the (small, static) K axis.
@@ -386,6 +412,48 @@ class ScenarioUtils:
         return line
 
     @staticmethod
+    def render_agent_indices(
+        scenario, env_index: int, start_from: int = 0, exclude=None
+    ):
+        """Screen-space index labels over agents (reference utils.py:333-364).
+
+        Returns one ``TextLine`` per (non-excluded) agent, positioned by
+        projecting the agent's world position through the scenario's
+        viewer size/zoom exactly like the reference.
+        """
+        from vectorizedmultiagentsimulator_tpu.render import TextLine
+
+        aspect_r = scenario.viewer_size[X] / scenario.viewer_size[Y]
+        if aspect_r > 1:
+            dimensional_ratio = (aspect_r, 1)
+        else:
+            dimensional_ratio = (1, 1 / aspect_r)
+
+        geoms = []
+        for i, entity in enumerate(scenario.world.agents):
+            if exclude is not None and entity in exclude:
+                continue
+            pos = np.asarray(entity.state.pos)[env_index]
+            zoom_sq = scenario.viewer_zoom**2
+            geoms.append(
+                TextLine(
+                    text=str(i + start_from),
+                    font_size=15,
+                    x=(
+                        pos[X] * scenario.viewer_size[X]
+                        / (zoom_sq * dimensional_ratio[X] * 2)
+                        + scenario.viewer_size[X] / 2
+                    ),
+                    y=(
+                        pos[Y] * scenario.viewer_size[Y]
+                        / (zoom_sq * dimensional_ratio[Y] * 2)
+                        + scenario.viewer_size[Y] / 2
+                    ),
+                )
+            )
+        return geoms
+
+    @staticmethod
     def uniform_in_bounds(world, lo, hi, shape: Optional[Tuple[int, ...]] = None):
         """Uniform random positions ``[B, dim_p]`` (or ``[B, *shape]``) in
         ``[lo, hi]`` drawn from the world's PRNG stream — the jit-safe
@@ -433,6 +501,44 @@ def save_video(name: str, frame_list, fps: int):
         )
     except Exception:
         pass
+
+
+def x_to_rgb_colormap(
+    x,
+    low: float = None,
+    high: float = None,
+    alpha: float = 1.0,
+    cmap_name: str = "viridis",
+    cmap_res: int = 10,
+):
+    """Map scalars to RGBA via a discretized colormap with linear
+    interpolation between bins (reference utils.py:127-152).
+
+    Uses matplotlib's colormaps when available, otherwise a built-in
+    blue→red ramp (the TPU image may ship without matplotlib).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    try:
+        from matplotlib import cm
+
+        colormap = cm.get_cmap(cmap_name, cmap_res)(range(cmap_res))[:, :-1]
+    except Exception:
+        t = np.linspace(0.0, 1.0, cmap_res)
+        colormap = np.stack([t, 0.5 * np.ones_like(t), 1 - t], axis=-1)
+    if low is None:
+        low = np.min(x)
+    if high is None:
+        high = np.max(x)
+    x = np.clip(x, low, high)
+    if high - low > 1e-5:
+        x = (x - low) / (high - low) * (cmap_res - 1)
+    x_c0_idx = np.floor(x).astype(int)
+    x_c1_idx = np.ceil(x).astype(int)
+    x_c0 = colormap[x_c0_idx, :]
+    x_c1 = colormap[x_c1_idx, :]
+    t = x - x_c0_idx
+    rgb = t[:, None] * x_c1 + (1 - t)[:, None] * x_c0
+    return np.concatenate([rgb, alpha * np.ones((rgb.shape[0], 1))], axis=-1)
 
 
 def extract_nested_with_index(data, index: int):
