@@ -146,6 +146,48 @@ def test_fused_geometry_env_rollout(geom_interpret, map_type, kw):
         np.testing.assert_array_equal(np.asarray(dp), np.asarray(dj))
 
 
+def test_fused_neighbor_obs_matches_jnp(geom_interpret):
+    """The top-k neighbor-observation kernel vs its jnp mirror: values to
+    reduction-order ulps, identical first-min selection, finite nonzero
+    grads through the custom VJP."""
+    A, k = 6, 2
+    half_l, half_w = 0.08, 0.05
+    rng = np.random.RandomState(0)
+    B = 64
+    pos = jnp.asarray(rng.randn(B, A, 2).astype(np.float32))
+    rot = jnp.asarray(rng.uniform(-3, 3, (B, A)).astype(np.float32))
+    vel = jnp.asarray(rng.randn(B, A, 2).astype(np.float32))
+    d = jnp.linalg.norm(pos[:, :, None] - pos[:, None], axis=-1)
+    big = jnp.max(d, axis=(-2, -1), keepdims=True) + 1
+    d = jnp.where(jnp.eye(A, dtype=bool)[None], big, d)
+
+    class S:
+        n_agents = A
+        n_nearing_agents_observed = k
+        l_f = half_l
+        l_r = half_l
+        agent_width = 2 * half_w
+
+    scn = S()
+    out_k = rgp.fused_neighbor_obs(scn, pos, rot, vel, d)
+    out_j = rgp._neighbor_obs_jnp(A, k, half_l, half_w, pos, rot, vel, d)
+    names = ["nd", "pos_ego", "rot_rel", "vel_ego", "vert_ego"]
+    for n, a, b in zip(names, out_k, out_j):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, err_msg=n
+        )
+    # selection (nd) must be bit-equal: same first-min tie rule
+    np.testing.assert_array_equal(np.asarray(out_k[0]), np.asarray(out_j[0]))
+
+    def loss(p, r, v):
+        o = rgp.fused_neighbor_obs(scn, p, r, v, d)
+        return sum(jnp.sum(x) for x in o)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(pos, rot, vel)
+    assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    assert all(np.abs(np.asarray(x)).max() > 0 for x in g)
+
+
 def test_fused_geometry_grads(geom_interpret):
     """The custom-VJP backward (jnp recompute) is finite and matches the
     jnp path's gradients, including at exactly-on-path spawn poses."""

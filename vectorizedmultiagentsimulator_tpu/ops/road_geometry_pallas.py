@@ -47,7 +47,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TB = 512  # env-batch tile (batch rides the lane dim)
+_TB = int(os.environ.get("VMT_GEOM_TB", "512"))  # env-batch lane tile
 
 
 def geometry_enabled() -> bool:
@@ -177,7 +177,14 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
             x0, y0 = Xp[:-1], Yp[:-1]
             dx, dy = Xp[1:] - x0, Yp[1:] - y0
             lsq = dx * dx + dy * dy + 1e-8
-            return x0, y0, dx, dy, lsq
+            # Reciprocal once per polyline: perp_dsq runs 1x (center) /
+            # 5x per boundary side, and a VPU divide costs several
+            # multiply-equivalents — hoist it out of the per-point pass.
+            # t = q * (1/lsq) instead of q / lsq changes the rounding of
+            # t by <=1ulp; t is then clipped and only feeds the soft
+            # closest-point, so outputs stay within the 1e-5 tie
+            # tolerance used downstream (verified vs jnp on real TPU).
+            return x0, y0, dx, dy, lsq, 1.0 / lsq
 
         def perp_dsq(px, py, segs, n):
             """Masked per-segment SQUARED distances [P_pad-1, TB] (the
@@ -186,9 +193,9 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
             correctly rounded, so sqrt(min(d^2)) == min(sqrt(d^2))
             bitwise and the [P-1, TB] sqrt pass (~18% of the kernel)
             collapses to one [1, TB] sqrt per reduction."""
-            x0, y0, dx, dy, lsq = segs
+            x0, y0, dx, dy, lsq, inv_lsq = segs
             pvx, pvy = px - x0, py - y0
-            t = jnp.clip((pvx * dx + pvy * dy) / lsq, 0.0, 1.0)
+            t = jnp.clip((pvx * dx + pvy * dy) * inv_lsq, 0.0, 1.0)
             cx = x0 + dx * t - px
             cy = y0 + dy * t - py
             dsq = cx * cx + cy * cy
@@ -415,6 +422,296 @@ def _make_pair_kernel(scn):
             ag_o[i * A : (i + 1) * A, :] = (pair > 0).astype(jnp.float32)
 
     return kernel
+
+
+def _make_neighbor_obs_kernel(A, k, half_l, half_w):
+    """Per-env-block program: the partial-observation top-k neighbor
+    block (reference road_traffic.py:1937-2030) entirely on chip.
+
+    For every agent i: a k-round first-min fold over the normalized
+    agent-distance matrix (same tie rule as ``jnp.argmin``), one-hot
+    row-reductions gathering the selected neighbors' pose / speed /
+    rectangle vertices, and the ego-frame transforms.  Replaces the jnp
+    chain of [B, A, k, A] one-hot einsums + [B, A, k, 4, 2] rel-vertex
+    transforms whose tiny (4, 2) minor dims tile at ~3% vreg utilization
+    and drag layout-fixup copies behind them (~11% of the step at
+    B=10k).  All outputs are RAW (unnormalized) — the caller divides by
+    the normalizers in the same order as the jnp path."""
+
+    def kernel(pos_ref, rot_ref, vel_ref, dn_ref, *out_refs):
+        nd_o, pe_o, re_o, ve_o, vt_o = out_refs
+        TB = pos_ref.shape[1]
+        iota_A = jax.lax.broadcasted_iota(
+            jnp.int32, (A, 1), 0
+        ).astype(jnp.float32)
+
+        # All agents' x/y/rot/|v| stacked on sublanes [A, TB], plus the
+        # 4 rectangle corners (same association as
+        # get_rectangle_vertices — bit-exact parity with the jnp path).
+        PX = jnp.concatenate(
+            [pos_ref[2 * j : 2 * j + 1, :] for j in range(A)], axis=0
+        )
+        PY = jnp.concatenate(
+            [pos_ref[2 * j + 1 : 2 * j + 2, :] for j in range(A)], axis=0
+        )
+        TH = rot_ref[:, :]
+        # Mosaic has no strided vector loads — gather the interleaved
+        # x/y rows with explicit unit slices.
+        VX = jnp.concatenate(
+            [vel_ref[2 * j : 2 * j + 1, :] for j in range(A)], axis=0
+        )
+        VY = jnp.concatenate(
+            [vel_ref[2 * j + 1 : 2 * j + 2, :] for j in range(A)], axis=0
+        )
+        VA = jnp.sqrt(VX * VX + VY * VY)
+        cos_all = jnp.cos(TH)
+        sin_all = jnp.sin(TH)
+        corner_x = []
+        corner_y = []
+        for bx, by in _CORNERS(half_l, half_w)[:4]:
+            corner_x.append(bx * cos_all - by * sin_all + PX)
+            corner_y.append(bx * sin_all + by * cos_all + PY)
+
+        for i in range(A):
+            px = PX[i : i + 1, :]
+            py = PY[i : i + 1, :]
+            th = TH[i : i + 1, :]
+            c_i = cos_all[i : i + 1, :]
+            s_i = sin_all[i : i + 1, :]
+            cur = dn_ref[i * A : (i + 1) * A, :]  # [A, TB]
+            for kk in range(k):
+                m = jnp.min(cur, axis=0, keepdims=True)
+                idx = jnp.min(
+                    jnp.where(cur == m, iota_A, float(A)),
+                    axis=0,
+                    keepdims=True,
+                )
+                oh = (iota_A == idx).astype(jnp.float32)  # [A, TB]
+                cur = jnp.where(oh > 0, jnp.inf, cur)
+                nd_o[pl.ds(i * k + kk, 1), :] = m
+
+                def g(rows):  # one-hot gather [A, TB] -> [1, TB]
+                    return jnp.sum(oh * rows, axis=0, keepdims=True)
+
+                pjx, pjy = g(PX), g(PY)
+                rot_rel = g(TH) - th
+                va_j = g(VA)
+                # ego position: rotate (p_j - p_i) by -th.  cos(-th) ==
+                # cos(th) and sin(-th) == -sin(th) bitwise, so the
+                # rotate_vector form collapses to the +/- pattern below.
+                rx_, ry_ = pjx - px, pjy - py
+                pe_o[pl.ds((i * k + kk) * 2, 1), :] = (
+                    rx_ * c_i + ry_ * s_i
+                )
+                pe_o[pl.ds((i * k + kk) * 2 + 1, 1), :] = (
+                    ry_ * c_i - rx_ * s_i
+                )
+                re_o[pl.ds(i * k + kk, 1), :] = rot_rel
+                ve_o[pl.ds((i * k + kk) * 2, 1), :] = va_j * jnp.cos(
+                    rot_rel
+                )
+                ve_o[pl.ds((i * k + kk) * 2 + 1, 1), :] = va_j * jnp.sin(
+                    rot_rel
+                )
+                for v in range(4):
+                    vx_ = g(corner_x[v]) - px
+                    vy_ = g(corner_y[v]) - py
+                    base = ((i * k + kk) * 4 + v) * 2
+                    vt_o[pl.ds(base, 1), :] = vx_ * c_i + vy_ * s_i
+                    vt_o[pl.ds(base + 1, 1), :] = vy_ * c_i - vx_ * s_i
+
+    return kernel
+
+
+def _neighbor_obs_jnp(A, k, half_l, half_w, pos, rot, vel, dn):
+    """jnp mirror of the neighbor-obs kernel (the fused path's custom-VJP
+    backward and the CPU reference for equivalence tests).  Matches the
+    scenario's original inline chain op-for-op."""
+    vel_abs = jnp.linalg.norm(vel, axis=-1)  # [B, A]
+    lw = 2 * half_w
+    ll = 2 * half_l
+    # local import to avoid a cycle at module load
+    from vectorizedmultiagentsimulator_tpu.scenarios.road_traffic import (
+        get_rectangle_vertices,
+    )
+
+    vertices = get_rectangle_vertices(pos, rot, lw, ll)[..., :4, :]
+    cur = dn
+    vals, ohs = [], []
+    for _ in range(k):
+        vals.append(jnp.min(cur, axis=-1))
+        oh = jnp.argmin(cur, axis=-1)[..., None] == jnp.arange(A)
+        ohs.append(oh)
+        cur = jnp.where(oh, jnp.inf, cur)
+    nd = jnp.stack(vals, axis=-1)  # [B, A, k]
+    one_hot = jnp.stack(ohs, axis=-2).astype(pos.dtype)
+
+    def sel(x):
+        return jnp.einsum(
+            "bika,ba...->bik...",
+            one_hot,
+            x,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def to_local(vec, rot_i):
+        cos = jnp.cos(-rot_i)
+        sin = jnp.sin(-rot_i)
+        return jnp.stack(
+            [
+                vec[..., 0] * cos - vec[..., 1] * sin,
+                vec[..., 0] * sin + vec[..., 1] * cos,
+            ],
+            axis=-1,
+        )
+
+    pos_j = sel(pos)
+    rot_j = sel(rot)
+    va_j = sel(vel_abs)
+    vert_j = sel(vertices)
+    rel = pos_j - pos[:, :, None, :]
+    pe = to_local(rel, rot[:, :, None])
+    rot_rel = rot_j - rot[:, :, None]
+    ve = jnp.stack(
+        [va_j * jnp.cos(rot_rel), va_j * jnp.sin(rot_rel)], axis=-1
+    )
+    vert_rel = vert_j - pos[:, :, None, None, :]
+    vt = to_local(vert_rel, rot[:, :, None, None])
+    return nd, pe, rot_rel, ve, vt
+
+
+def _neighbor_obs_forward(A, k, half_l, half_w, pos, rot, vel, dn):
+    B = pos.shape[0]
+    interpret = os.environ.get("VMT_PALLAS_INTERPRET") == "1"
+    pos_t = jnp.moveaxis(pos, 0, -1).reshape(2 * A, B)
+    rot_t = jnp.moveaxis(rot, 0, -1).reshape(A, B)
+    vel_t = jnp.moveaxis(vel, 0, -1).reshape(2 * A, B)
+    dn_t = jnp.moveaxis(dn, 0, -1).reshape(A * A, B)
+
+    def spec(height):
+        return pl.BlockSpec(
+            (height, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+
+    out_rows = [A * k, A * k * 2, A * k, A * k * 2, A * k * 8]
+    nd, pe, re, ve, vt = pl.pallas_call(
+        _make_neighbor_obs_kernel(A, k, half_l, half_w),
+        grid=(pl.cdiv(B, _TB),),
+        in_specs=[spec(2 * A), spec(A), spec(2 * A), spec(A * A)],
+        out_specs=[spec(r) for r in out_rows],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, B), jnp.float32) for r in out_rows
+        ],
+        interpret=interpret,
+    )(pos_t, rot_t, vel_t, dn_t)
+
+    def unpack(x, shape):
+        return jnp.moveaxis(x.reshape(shape + (B,)), -1, 0)
+
+    return (
+        unpack(nd, (A, k)),
+        unpack(pe, (A, k, 2)),
+        unpack(re, (A, k)),
+        unpack(ve, (A, k, 2)),
+        unpack(vt, (A, k, 4, 2)),
+    )
+
+
+def _neighbor_partitioned(A, k, half_l, half_w):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def fwd(pos, rot, vel, dn):
+        return _neighbor_obs_forward(A, k, half_l, half_w, pos, rot, vel,
+                                     dn)
+
+    def _batch_only(sharding, ndim):
+        spec = getattr(sharding, "spec", None)
+        b = spec[0] if spec is not None and len(spec) else None
+        return NamedSharding(
+            sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1)))
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        return tuple(
+            _batch_only(arg_shapes[0].sharding, r.ndim)
+            for r in result_shape
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _batch_only(a.sharding, a.ndim) for a in arg_shapes
+        )
+        result_shardings = tuple(
+            _batch_only(arg_shapes[0].sharding, r.ndim)
+            for r in result_shape
+        )
+
+        def lower_fn(*args):
+            return _neighbor_obs_forward(A, k, half_l, half_w, *args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b a i, b a, b a j, b a a2 -> "
+            "b a3 k, b a4 k2 i2, b a5 k3, b a6 k4 j2, b a7 k5 v i3"
+        ),
+    )
+    return fwd
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_neighbor_obs(scn, pos, rot, vel, dn):
+    """Top-k nearest-neighbor ego observations as one Pallas kernel.
+
+    pos [B,A,2], rot [B,A], vel [B,A,2], dn [B,A,A] (normalized mutual
+    distances, big diagonal) -> (nearing_dist [B,A,k], pos_ego
+    [B,A,k,2], rot_rel [B,A,k], vel_ego [B,A,k,2], vert_ego
+    [B,A,k,4,2]), all raw/unnormalized.
+    """
+    key = "_fused_neighbor_obs"
+    fwd = scn.__dict__.get(key)
+    if fwd is None:
+        fwd = _neighbor_partitioned(
+            scn.n_agents,
+            scn.n_nearing_agents_observed,
+            (scn.l_f + scn.l_r) / 2.0,
+            scn.agent_width / 2.0,
+        )
+        scn.__dict__[key] = fwd
+    return fwd(pos, rot, vel, dn)
+
+
+def _nobs_fwd(scn, pos, rot, vel, dn):
+    return fused_neighbor_obs(scn, pos, rot, vel, dn), (pos, rot, vel, dn)
+
+
+def _nobs_bwd(scn, residuals, g):
+    pos, rot, vel, dn = residuals
+    A = scn.n_agents
+    k = scn.n_nearing_agents_observed
+
+    def core(p, r, v, d):
+        return _neighbor_obs_jnp(
+            A,
+            k,
+            (scn.l_f + scn.l_r) / 2.0,
+            scn.agent_width / 2.0,
+            p,
+            r,
+            v,
+            d,
+        )
+
+    _, vjp = jax.vjp(core, pos, rot, vel, dn)
+    return vjp(g)
+
+
+fused_neighbor_obs.defvjp(_nobs_fwd, _nobs_bwd)
 
 
 def _geom_tables(scn):

@@ -1208,7 +1208,34 @@ class Scenario(BaseScenario):
                 jnp.stack([vel_abs, jnp.zeros_like(vel_abs)], axis=-1)
                 / self.normalizer_v
             )
-            if self.is_partial_observation:
+            from vectorizedmultiagentsimulator_tpu.ops import (
+                road_geometry_pallas as rgp,
+            )
+
+            if (
+                self.is_partial_observation
+                and self.is_ego_view
+                and rgp.geometry_enabled()
+            ):
+                # Fused top-k neighbor observations: selection fold,
+                # one-hot gathers and ego transforms in one VMEM-resident
+                # kernel (see ops/road_geometry_pallas.py
+                # fused_neighbor_obs) — the jnp chain below tiles its
+                # (4, 2) minor dims at ~3% vreg utilization and was ~11%
+                # of the step at B=10k.  Outputs are raw; normalizers
+                # applied here in the same order as the jnp path.
+                dists_norm = (
+                    self.distances_agents / self.normalizer_distance_lanelet
+                )
+                nd, pe, re_, ve, vt = rgp.fused_neighbor_obs(
+                    self, positions, rotations, vels, dists_norm
+                )
+                self._nearing_dist_sel = nd
+                self._obs_pos_sel = pe / self.normalizer_pos
+                self._obs_rot_sel = re_ / self.normalizer_rot
+                self._obs_vel_sel = ve / self.normalizer_v
+                self._obs_vertices_sel = vt / self.normalizer_pos
+            elif self.is_partial_observation:
                 # SELECT the k nearest agents FIRST, transform after:
                 # the full [B, A, A, 4, 2] ego transforms cost A/k times
                 # the math and their tiny (4, 2) minor dims tile at
