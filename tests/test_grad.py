@@ -119,6 +119,20 @@ def test_grad_pallas_matches_jnp(scenario, kwargs, monkeypatch):
     assert np.abs(np.asarray(g_pallas)).sum() > 0
 
 
+def test_grad_road_traffic_beyond_reference():
+    """road_traffic gradients — BEYOND the reference, which excludes the
+    scenario from its differentiability tests (tests/test_vmas.py:281-285).
+    The polyline-distance pipeline and the mutual-distance matrix are
+    NaN-guarded (safe_norm / guarded sqrt), so grads through obs+rewards
+    are finite here."""
+    grad = _rollout_grad(
+        "road_traffic", n_steps=2, n_agents=4, map_type="1"
+    )
+    g = np.asarray(grad)
+    assert np.isfinite(g).all(), "road_traffic: NaN/inf gradient"
+    assert np.abs(g).sum() > 0, "road_traffic: gradient identically zero"
+
+
 def test_grad_disabled_stops_gradient(num_envs=2):
     env = vmt.make_env(
         "dispersion", num_envs=num_envs, seed=0, grad_enabled=False

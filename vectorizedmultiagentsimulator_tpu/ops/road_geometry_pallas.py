@@ -47,7 +47,30 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TB = int(os.environ.get("VMT_GEOM_TB", "512"))  # env-batch lane tile
+def _parse_tb() -> int:
+    """Env-batch lane tile.  Must be a positive multiple of 128 (the TPU
+    lane width) — validate here so a bad override fails with a clear
+    message instead of an opaque Mosaic error at first compile.  Values
+    above 512 exceed the 16 MB scoped-VMEM limit on v5e (1024 needs
+    21.2 MB); warn rather than reject in case a larger-VMEM part runs
+    this."""
+    raw = os.environ.get("VMT_GEOM_TB", "512")
+    try:
+        tb = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"VMT_GEOM_TB={raw!r} is not an integer; expected a positive"
+            " multiple of 128 (TPU lane width), e.g. 256 or 512."
+        ) from None
+    if tb <= 0 or tb % 128 != 0:
+        raise ValueError(
+            f"VMT_GEOM_TB={tb} must be a positive multiple of 128 (TPU"
+            " lane width); e.g. 256 or 512 (the v5e VMEM ceiling)."
+        )
+    return tb
+
+
+_TB = _parse_tb()
 
 
 def geometry_enabled() -> bool:
@@ -479,6 +502,12 @@ def _make_neighbor_obs_kernel(A, k, half_l, half_w):
             c_i = cos_all[i : i + 1, :]
             s_i = sin_all[i : i + 1, :]
             cur = dn_ref[i * A : (i + 1) * A, :]  # [A, TB]
+            # NaN divergence note: if a distance were NaN, `cur == m` is
+            # all-false -> idx = A, the one-hot is all-zero, gathers
+            # return 0 and nd is NaN — whereas jnp.argmin would select
+            # the NaN index.  Distances here are norms of finite poses
+            # (the integrator clamps speed/pos), so NaN cannot occur in
+            # normal operation; the divergence is latent only.
             for kk in range(k):
                 m = jnp.min(cur, axis=0, keepdims=True)
                 idx = jnp.min(
@@ -527,7 +556,12 @@ def _neighbor_obs_jnp(A, k, half_l, half_w, pos, rot, vel, dn):
     """jnp mirror of the neighbor-obs kernel (the fused path's custom-VJP
     backward and the CPU reference for equivalence tests).  Matches the
     scenario's original inline chain op-for-op."""
-    vel_abs = jnp.linalg.norm(vel, axis=-1)  # [B, A]
+    from vectorizedmultiagentsimulator_tpu.utils import JaxUtils
+
+    # safe_norm: 0 subgradient at exactly-zero velocity (this mirror is
+    # the fused path's custom-VJP backward; jnp.linalg.norm would bake a
+    # NaN grad into the fused path for parked agents).
+    vel_abs = JaxUtils.safe_norm(vel, axis=-1)  # [B, A]
     lw = 2 * half_w
     ll = 2 * half_l
     # local import to avoid a cycle at module load

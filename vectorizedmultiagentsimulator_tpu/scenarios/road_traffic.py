@@ -849,7 +849,9 @@ class Scenario(BaseScenario):
     def _mutual_distances(self, positions):
         """Center-to-center distances with high diagonal
         (road_traffic.py:3686-3711)."""
-        d = jnp.linalg.norm(
+        # safe_norm: the i==i diagonal is exactly zero; the `where` below
+        # masks it in the forward but not in the vjp (0 * NaN = NaN).
+        d = JaxUtils.safe_norm(
             positions[:, :, None] - positions[:, None], axis=-1
         )
         big = jnp.max(d, axis=(-2, -1), keepdims=True) + 1
@@ -1158,7 +1160,7 @@ class Scenario(BaseScenario):
             # [reward/penalty] time
             rew = rew + (
                 jnp.where(v_proj > 0, 1.0, -1.0)
-                * jnp.linalg.norm(vels, axis=-1)
+                * JaxUtils.safe_norm(vels, axis=-1)
                 / max_speed
                 * self.penalty_time
             )
@@ -1198,7 +1200,7 @@ class Scenario(BaseScenario):
             vertices = get_rectangle_vertices(
                 positions, rotations, self.agent_width, self.l_f + self.l_r
             )
-            vel_abs = jnp.linalg.norm(vels, axis=-1)  # [B, A]
+            vel_abs = JaxUtils.safe_norm(vels, axis=-1)  # [B, A]
             # Self components (== the [i, i] diagonal of the pair
             # matrices below: rot_rel is 0, so ego velocity reduces to
             # (|v|, 0) and world pos/rot to own pos / 0).
