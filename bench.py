@@ -54,12 +54,12 @@ _CPU_FALLBACK = _PLATFORM == "cpu" and "axon" in os.environ.get(
 )
 
 NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 30_000))
-# 1000 steps per scan: the remote-TPU tunnel adds a fixed ~30 ms to every
-# program invocation; at 100 steps that overhead inflates the per-step
-# time ~2.5x (measured: transport@30k profiles at 193 us/step on-device
-# while a 100-step scan reports ~470 us/step wall).  1000 steps amortizes
-# it to <10%.
-N_STEPS = int(os.environ.get("BENCH_STEPS", 1000))
+# 4000 steps per scan: the remote-TPU tunnel adds a fixed ~30 ms to every
+# program invocation; at 1000 steps that still inflated transport@30k
+# (~56 us/step on-device) by ~35% wall.  4000 steps amortizes it to <15%
+# (measured 370M -> 481M env-steps/s with no code change); heavy all-pairs
+# scenarios stay chunked below to dodge the tunnel watchdog.
+N_STEPS = int(os.environ.get("BENCH_STEPS", 4000))
 if _CPU_FALLBACK:
     # Keep the fallback bounded: fewer envs/steps, still a valid
     # steady-state throughput measurement of the same pipeline.

@@ -1194,7 +1194,9 @@ class World:
             dist = jnp.linalg.norm(pos - test_point_pos, axis=-1)
             return_value = dist - shape.radius
         elif isinstance(shape, shp.Box):
-            closest = geo.closest_point_box(
+            # Component form keeps the whole query 1D-batch-shaped (full
+            # VPU tiles) — see geo.closest_point_box_xy.
+            gx, gy = geo.closest_point_box_xy(
                 pos,
                 entity.state.rot[..., 0],
                 shape.width,
@@ -1202,7 +1204,10 @@ class World:
                 test_point_pos,
             )
             return_value = (
-                jnp.linalg.norm(test_point_pos - closest, axis=-1) - LINE_MIN_DIST
+                geo.safe_norm_xy(
+                    test_point_pos[..., 0] - gx, test_point_pos[..., 1] - gy
+                )
+                - LINE_MIN_DIST
             )
         elif isinstance(shape, shp.Line):
             closest = geo.closest_point_line(
@@ -1314,20 +1319,22 @@ class World:
                 if isinstance(sb, shp.Sphere)
                 else (entity_b, entity_a)
             )
-            closest = geo.closest_point_box(
+            # Component form keeps the whole query 1D-batch-shaped (full
+            # VPU tiles) — see geo.closest_point_box_xy.
+            spx = sphere.state.pos[..., 0]
+            spy = sphere.state.pos[..., 1]
+            bpx = box.state.pos[..., 0]
+            bpy = box.state.pos[..., 1]
+            gx, gy = geo.closest_point_box_xy(
                 box.state.pos,
                 box.state.rot[..., 0],
                 box.shape.width,
                 box.shape.length,
                 sphere.state.pos,
             )
-            dist_sphere_closest = jnp.linalg.norm(
-                sphere.state.pos - closest, axis=-1
-            )
-            dist_sphere_box = jnp.linalg.norm(
-                sphere.state.pos - box.state.pos, axis=-1
-            )
-            dist_closest_box = jnp.linalg.norm(box.state.pos - closest, axis=-1)
+            dist_sphere_closest = geo.safe_norm_xy(spx - gx, spy - gy)
+            dist_sphere_box = geo.safe_norm_xy(spx - bpx, spy - bpy)
+            dist_closest_box = geo.safe_norm_xy(bpx - gx, bpy - gy)
             dist_min = sphere.shape.radius + LINE_MIN_DIST
             return_value = (dist_sphere_box < dist_closest_box) | (
                 dist_sphere_closest < dist_min
