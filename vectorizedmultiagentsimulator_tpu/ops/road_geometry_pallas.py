@@ -93,7 +93,22 @@ def _pad_tables(paths):
     """Pad the point dim to a sublane multiple by repeating the last row
     (repeats are degenerate segments: inert in both the masked
     perpendicular-distance pipeline and the strict interX test, exactly
-    like the builder's own last-point padding)."""
+    like the builder's own last-point padding).
+
+    The 6 polyline components + the 12 meta rows are stacked into ONE
+    tall [R, n_paths] matrix and pre-split into an exact 3-way bf16
+    decomposition (a0 = bf16(S), a1 = bf16(S - a0), a2 = S - a0 - a1;
+    every residual is exactly representable, asserted below).  The
+    kernel then gathers a whole path family with THREE single-pass bf16
+    matmuls against the 0/1 one-hot selector instead of seven 6-pass
+    f32 ``HIGHEST`` matmuls: a one-hot column picks exactly one table
+    column, each bf16 product against 1.0 is exact and the f32
+    accumulator adds a0+a1+a2 back to the original f32 value bitwise —
+    same result, ~2.6x fewer MXU passes (the gathers, not the
+    elementwise passes, bound the kernel on v5e: n_paths=40 leaves the
+    128-wide contraction dim 31% utilized)."""
+    import ml_dtypes
+
     P = paths.center.shape[1]
     P_pad = _round_up(P, 8)
     pad = P_pad - P
@@ -127,16 +142,40 @@ def _pad_tables(paths):
         ],
         axis=0,
     ).astype(np.float32)
-    return (cx, cy, lx, ly, rx, ry, meta), P, P_pad
+    stacked = np.concatenate([cx, cy, lx, ly, rx, ry, meta], axis=0)
+    rows = stacked.shape[0]
+    rows_pad = _round_up(rows, 8)
+    stacked = np.concatenate(
+        [
+            stacked,
+            np.zeros((rows_pad - rows, stacked.shape[1]), np.float32),
+        ],
+        axis=0,
+    )
+    bf16 = ml_dtypes.bfloat16
+    a0 = stacked.astype(bf16)
+    r1 = stacked - a0.astype(np.float32)
+    a1 = r1.astype(bf16)
+    a2 = (r1 - a1.astype(np.float32)).astype(bf16)
+    recon = (
+        a0.astype(np.float32) + a1.astype(np.float32)
+    ) + a2.astype(np.float32)
+    assert (recon == stacked).all(), "bf16 3-way table split not exact"
+    return (a0, a1, a2), P, P_pad, rows_pad
 
 
 def _dot(a, b):
-    """f32-exact MXU matmul (0/1 selector operands make HIGHEST exact)."""
+    """Single-pass bf16 MXU matmul with f32 accumulation.  Exact when
+    one operand is a 0/1 selector (bf16 represents 0/1 exactly, each
+    product against 1.0 is exact, and the accumulator is f32); paired
+    with the 3-way bf16 table split in ``_pad_tables`` this reproduces
+    the f32 gather bitwise at 1/6 the MXU passes of a ``HIGHEST``
+    matmul."""
     return jax.lax.dot_general(
         a,
         b,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
 
@@ -165,13 +204,9 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
         pos_ref,
         rot_ref,
         pid_ref,
-        cx_ref,
-        cy_ref,
-        lx_ref,
-        ly_ref,
-        rx_ref,
-        ry_ref,
-        meta_ref,
+        t0_ref,
+        t1_ref,
+        t2_ref,
         *out_refs,
     ):
         if with_collisions:
@@ -209,24 +244,35 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
             # tolerance used downstream (verified vs jnp on real TPU).
             return x0, y0, dx, dy, lsq, 1.0 / lsq
 
-        def perp_dsq(px, py, segs, n):
+        def perp_dsq(px, py, segs, n, with_pv=False):
             """Masked per-segment SQUARED distances [P_pad-1, TB] (the
             in-VMEM form of get_perpendicular_distances).  sqrt is
             hoisted past the min by the callers — sqrt is monotone and
             correctly rounded, so sqrt(min(d^2)) == min(sqrt(d^2))
             bitwise and the [P-1, TB] sqrt pass (~18% of the kernel)
-            collapses to one [1, TB] sqrt per reduction."""
+            collapses to one [1, TB] sqrt per reduction.
+
+            Padding rows (index >= n-1) get a large sentinel.  The min
+            over segments is unchanged (every polyline has >= 1 real
+            segment) and the tie-tolerant first-min index fold is also
+            unchanged (padding indices are strictly larger than the
+            real row holding the same value), so this is output-bitwise
+            equivalent to the earlier d_end replication — minus a
+            full-tile select-multiply-reduce per call (11 calls/agent).
+
+            with_pv=True also returns the point-minus-segment-start
+            components so the boundary-crossing pass can reuse them
+            (see the crossing block below)."""
             x0, y0, dx, dy, lsq, inv_lsq = segs
             pvx, pvy = px - x0, py - y0
             t = jnp.clip((pvx * dx + pvy * dy) * inv_lsq, 0.0, 1.0)
             cx = x0 + dx * t - px
             cy = y0 + dy * t - py
             dsq = cx * cx + cy * cy
-            end_idx = jnp.maximum(n - 2.0, 0.0)
-            d_end = jnp.sum(
-                dsq * (seg_iota == end_idx), axis=0, keepdims=True
-            )
-            return jnp.where(seg_iota >= n - 1.0, d_end, dsq)
+            dsq = jnp.where(seg_iota >= n - 1.0, 1e30, dsq)
+            if with_pv:
+                return dsq, pvx, pvy
+            return dsq
 
         def seg_cross_any(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y):
             """Strict crossing of segment p against segment array q,
@@ -245,24 +291,46 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
         th = rot_ref[pl.ds(a, 1), :]
         pid = pid_ref[pl.ds(a, 1), :]
 
-        onehot = (iota_paths == pid).astype(jnp.float32)  # [n_p, TB]
-        gcx = _dot(cx_ref[:], onehot)  # [P_pad, TB]
-        gcy = _dot(cy_ref[:], onehot)
-        glx = _dot(lx_ref[:], onehot)
-        gly = _dot(ly_ref[:], onehot)
-        grx = _dot(rx_ref[:], onehot)
-        gry = _dot(ry_ref[:], onehot)
-        mg = _dot(meta_ref[:], onehot)  # [12, TB]
+        _abl = set(
+            filter(
+                None, os.environ.get("VMT_GEOM_ABLATE", "").split(",")
+            )
+        )
+        # Whole path family (6 polyline components + meta) in ONE
+        # stacked gather: three single-pass bf16 matmuls whose f32 sum
+        # reconstructs the f32 tables bitwise (see _pad_tables).
+        onehot = (iota_paths == pid).astype(jnp.bfloat16)  # [n_p, TB]
+        if "nogather" in _abl:
+            g = jnp.broadcast_to(
+                t0_ref[:].astype(jnp.float32)[:, 0:1],
+                (t0_ref.shape[0], TB),
+            ) + 0.0 * jnp.sum(onehot.astype(jnp.float32))
+        else:
+            g = (
+                _dot(t0_ref[:], onehot) + _dot(t1_ref[:], onehot)
+            ) + _dot(t2_ref[:], onehot)  # [R, TB] f32
+        gcx = g[0 * P_pad : 1 * P_pad]  # [P_pad, TB]
+        gcy = g[1 * P_pad : 2 * P_pad]
+        glx = g[2 * P_pad : 3 * P_pad]
+        gly = g[3 * P_pad : 4 * P_pad]
+        grx = g[4 * P_pad : 5 * P_pad]
+        gry = g[5 * P_pad : 6 * P_pad]
+        mg = g[6 * P_pad : 6 * P_pad + 12]  # [12, TB]
         n_c = mg[0:1, :]
         n_l = mg[1:2, :]
         n_r = mg[2:3, :]
         loop_f = mg[3:4, :]
 
         # --- reference-path distance + closest index --- #
-        segs_c = polyline_segs(gcx, gcy)
-        dsq_c = perp_dsq(px, py, segs_c, n_c)
-        dmin = jnp.sqrt(jnp.min(dsq_c, axis=0, keepdims=True))
+        if "nocenter" in _abl:
+            dmin = px * 0.0
+        else:
+            segs_c = polyline_segs(gcx, gcy)
+            dsq_c = perp_dsq(px, py, segs_c, n_c)
+            dmin = jnp.sqrt(jnp.min(dsq_c, axis=0, keepdims=True))
         ref_o[pl.ds(a, 1), :] = dmin
+        if "nocenter" in _abl:
+            dsq_c = jnp.zeros((P_pad - 1, TB), jnp.float32)
         # First index within EPS of the min (the tie-tolerant rule of
         # get_perpendicular_distances — see the note there), tested in
         # squared space: d <= thr  <=>  d^2 <= thr^2 for nonnegatives.
@@ -277,7 +345,7 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
         )
 
         # --- short-term reference path --- #
-        for k in range(K):
+        for k in range(K if "noshort" not in _abl else 0):
             fut = idx + float(k * SI + 1)
             wrapped = jnp.mod(fut + 1.0, n_c)
             fut = jnp.where(
@@ -301,46 +369,77 @@ def _make_agent_kernel(scn, with_collisions, P, P_pad):
             vxs.append(bx * cos_t - by * sin_t + px)
             vys.append(bx * sin_t + by * cos_t + py)
 
-        # --- boundary distances (center + 4 vertices) --- #
+        # --- boundary distances (center + 4 vertices), fused with the
+        #     rectangle x boundary crossings --- #
+        # The crossing test's d1/d2 terms are cross(boundary-segment,
+        # vertex - segment-start) — bitwise-identical to dx*pvy - dy*pvx
+        # built from the perpendicular pass's pv intermediates (sx == dx
+        # and p1y - q1y == pvy are the same subtractions), and d3 is an
+        # exact IEEE rearrangement (q1y-p1y == -pvy; (-u)-(-v) == v-u).
+        # Reusing them drops two full cross-product passes per rectangle
+        # edge per side (8 of the kernel's ~20 elementwise passes shrink
+        # by ~half); outputs are bit-identical to the standalone
+        # seg_cross_any form.
         segs_l = polyline_segs(glx, gly)
         segs_r = polyline_segs(grx, gry)
-        pts = [(px, py)] + list(zip(vxs[:4], vys[:4]))
-        mins = []
-        for side, (segs, n_s) in enumerate(
-            ((segs_l, n_l), (segs_r, n_r))
-        ):
+        # Zero placeholder ONLY under the nobound ablation (keeps bd
+        # defined); the real path folds over the 10 true distances.
+        mins = [px * 0.0] if "nobound" in _abl else []
+        hit = jnp.zeros((1, TB), jnp.float32)
+        _sides = (
+            (((glx, gly), segs_l, n_l), ((grx, gry), segs_r, n_r))
+            if "nobound" not in _abl
+            else ()
+        )
+        for side, (XY, segs, n_s) in enumerate(_sides):
             out_ref_s = la_o if side == 0 else ra_o
-            for j, (qx, qy) in enumerate(pts):
-                dmin_s = jnp.sqrt(
-                    jnp.min(
-                        perp_dsq(qx, qy, segs, n_s),
-                        axis=0,
-                        keepdims=True,
-                    )
+            x0, y0, dx, dy = segs[0], segs[1], segs[2], segs[3]
+            pvs, crosses = [], []
+            for j, (qx, qy) in enumerate(
+                [(px, py)] + list(zip(vxs[:4], vys[:4]))
+            ):
+                dsq, pvx, pvy = perp_dsq(
+                    qx, qy, segs, n_s, with_pv=True
                 )
+                dmin_s = jnp.sqrt(jnp.min(dsq, axis=0, keepdims=True))
                 if j == 0:
                     dmin_s = dmin_s - half_w
+                elif with_collisions:
+                    if "nocross" not in _abl:
+                        pvs.append((pvx, pvy))
+                        crosses.append(dx * pvy - dy * pvx)
                 out_ref_s[pl.ds(5 * a + j, 1), :] = dmin_s
                 mins.append(dmin_s)
+            if with_collisions and "nocross" not in _abl:
+                # Rectangle edge s runs vertex s -> s+1; vertex 4 is
+                # the closed-shape repeat of vertex 0, so its cross
+                # term is bitwise equal to crosses[0].
+                crosses.append(crosses[0])
+                x1, y1 = XY[0][1:], XY[1][1:]
+                for s in range(4):
+                    rx_ = vxs[s + 1] - vxs[s]
+                    ry_ = vys[s + 1] - vys[s]
+                    d1 = crosses[s]
+                    d2 = crosses[s + 1]
+                    pvx_s, pvy_s = pvs[s]
+                    d3 = ry_ * pvx_s - rx_ * pvy_s
+                    d4 = rx_ * (y1 - vys[s]) - ry_ * (x1 - vxs[s])
+                    hit = jnp.maximum(
+                        hit,
+                        jnp.max(
+                            (
+                                (d1 * d2 < 0) & (d3 * d4 < 0)
+                            ).astype(jnp.float32),
+                            axis=0,
+                            keepdims=True,
+                        ),
+                    )
         bd = mins[0]
         for m in mins[1:]:
             bd = jnp.minimum(bd, m)
         bd_o[pl.ds(a, 1), :] = bd
 
         if with_collisions:
-            # --- rectangle x boundary crossings --- #
-            hit = jnp.zeros((1, TB), jnp.float32)
-            for qx, qy in ((glx, gly), (grx, gry)):
-                q1x, q1y = qx[:-1], qy[:-1]
-                q2x, q2y = qx[1:], qy[1:]
-                for s in range(4):
-                    hit = jnp.maximum(
-                        hit,
-                        seg_cross_any(
-                            vxs[s], vys[s], vxs[s + 1], vys[s + 1],
-                            q1x, q1y, q2x, q2y,
-                        ),
-                    )
             lane_o[pl.ds(a, 1), :] = hit
 
             # --- entry / exit segment crossings --- #
@@ -440,7 +539,9 @@ def _make_pair_kernel(scn):
                     acc,
                     ((d1 * d2 < 0) & (d3 * d4 < 0)).astype(jnp.float32),
                 )
-            pair = _dot(g_ref[:], acc)  # [A, TB] counts per agent j
+            # Both operands are exact 0/1 in bf16 -> single-pass matmul
+            # with f32 accumulation is exact (counts <= 4 per cell).
+            pair = _dot(g_ref[:], acc.astype(jnp.bfloat16))
             pair = jnp.where(iota_A == float(i), 0.0, pair)
             ag_o[i * A : (i + 1) * A, :] = (pair > 0).astype(jnp.float32)
 
@@ -753,15 +854,17 @@ def _geom_tables(scn):
     matrix for the pair-collision reduce), cached on the scenario."""
     cached = scn.__dict__.get("_geom_tables_cache")
     if cached is None:
-        tables, P, P_pad = _pad_tables(scn.paths)
+        tables, P, P_pad, rows_pad = _pad_tables(scn.paths)
         A = scn.n_agents
         G = np.zeros((A, 4 * A), np.float32)
         for j in range(A):
             G[j, 4 * j : 4 * (j + 1)] = 1.0
         cached = (
-            tuple(jnp.asarray(t) for t in tables) + (jnp.asarray(G),),
+            tuple(jnp.asarray(t) for t in tables)
+            + (jnp.asarray(G).astype(jnp.bfloat16),),
             P,
             P_pad,
+            rows_pad,
         )
         scn.__dict__["_geom_tables_cache"] = cached
     return cached
@@ -770,10 +873,10 @@ def _geom_tables(scn):
 def _pallas_forward(scn, with_collisions, pos, rot, pidf, *tables):
     B, A = pos.shape[0], pos.shape[1]
     K = scn.n_points_short_term
-    _, P, P_pad = _geom_tables(scn)
+    _, P, P_pad, rows_pad = _geom_tables(scn)
     n_p = scn.n_paths
     interpret = os.environ.get("VMT_PALLAS_INTERPRET") == "1"
-    path_tables, g_table = tables[:7], tables[7]
+    path_tables, g_table = tables[:3], tables[3]
 
     pos_t = jnp.moveaxis(pos, 0, -1).reshape(2 * A, B)
     rot_t = jnp.moveaxis(rot, 0, -1).reshape(A, B)
@@ -802,8 +905,7 @@ def _pallas_forward(scn, with_collisions, pos, rot, pidf, *tables):
         _make_agent_kernel(scn, with_collisions, P, P_pad),
         grid=(pl.cdiv(B, _TB), A),
         in_specs=[full_spec(2 * A), full_spec(A), full_spec(A)]
-        + [tab_spec((P_pad, n_p))] * 6
-        + [tab_spec((12, n_p))],
+        + [tab_spec((rows_pad, n_p))] * 3,
         out_specs=[full_spec(r * A) for r in out_rows],
         out_shape=[
             jax.ShapeDtypeStruct((r * A, B), jnp.float32)
@@ -912,7 +1014,7 @@ def _partitioned_forward(scn, with_collisions):
             for i in range(n_out)
         ]
     )
-    tabs = ", ".join([f"p{j} n{j}" for j in range(8)])
+    tabs = ", ".join([f"p{j} n{j}" for j in range(4)])
     fwd.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
@@ -935,7 +1037,7 @@ def fused_geometry(scn, with_collisions, pos, rot, pidf):
     if fwd is None:
         fwd = _partitioned_forward(scn, with_collisions)
         scn.__dict__[key] = fwd
-    tables, _, _ = _geom_tables(scn)
+    tables, _, _, _ = _geom_tables(scn)
     return fwd(pos, rot, pidf, *tables)
 
 
