@@ -13,7 +13,20 @@ Jit-native redesign notes:
  * per-step caches (relative ball positions, team separations) stay python
    attributes — they are recomputed inside every traced step;
  * ``randomise_formation_indices`` shuffles at trace time (python RNG in
-   the reference too, football.py:417-420).
+   the reference too, football.py:417-420);
+ * the scripted :class:`AgentPolicy` evaluates the WHOLE team in one
+   stacked ``[B, T, ...]`` pass on the first teammate's ``action_script``
+   call (reference runs the pipeline per agent, football.py:1862-1878) —
+   profiling @30k envs showed the per-agent form fragmented the step into
+   ~50 tiny ``[B, 2]`` norm/reduce fusions (29% of step self-time) and 5
+   separate threefry draws (10%); the stacked pass collapses both.  RNG
+   deviation (documented like the per-env-draw reset deviations): the
+   position-sampling / decision / precision noise draws are ONE batched
+   draw per step instead of one per teammate, and precision noise is
+   applied once to the mask-selected target rather than per branch —
+   identical distributions, different stream alignment.  With one
+   teammate (the parity-golden config) the batched draw consumes the
+   same single key and yields bit-identical samples.
 """
 import typing
 from typing import List
@@ -1308,8 +1321,13 @@ class AgentPolicy:
             if "0" in agent.name:
                 self._team_disps = {}
                 self.check_possession()
-            self.dribble_policy(agent)
-            control = self.get_action(agent)
+                # One stacked [B, T, 2] dribble-policy pass for the whole
+                # team; per-agent calls below just slice their column.
+                # Trace-local scratch (written + read within one traced
+                # step), like _team_disps.
+                self._controls_all = self._compute_controls_all()
+            i = self.teammates.index(agent)
+            control = self._controls_all[:, i]
             control = jnp.clip(control, -agent.u_range, agent.u_range)
             agent.action.u = (
                 control * agent.action.u_multiplier_tensor[None]
@@ -1318,6 +1336,234 @@ class AgentPolicy:
             agent.action.u = jnp.zeros(
                 (self.world.batch_dim, agent.action_size), jnp.float32
             )
+
+    # -- team-stacked dribble policy (the hot path) -- #
+
+    def _stack_extra(self, field):
+        return jnp.stack(
+            [self._get(a, field) for a in self.teammates], axis=1
+        )
+
+    def _compute_controls_all(self):
+        """Stacked ``dribble_policy`` + ``get_action`` for every teammate:
+        [B, T, 2] controls in one pass.  Same math as the per-agent
+        methods (kept below for the ``passing_policy`` API); the masked
+        sequential extras writes of dribble_to_goal -> go_to become one
+        possession-``where`` select."""
+        T = len(self.teammates)
+        agents_pos = jnp.stack(
+            [a.state.pos for a in self.teammates], axis=1
+        )  # [B, T, 2]
+        agents_vel = jnp.stack(
+            [a.state.vel for a in self.teammates], axis=1
+        )
+        radius = jnp.asarray(
+            [a.shape.radius for a in self.teammates], jnp.float32
+        )  # [T]
+        possession = self._stack_extra("possession")  # [B, T] bool
+        ball_pos = self.ball.state.pos  # [B, 2]
+
+        # dribble-to-goal branch (possession)
+        d_pos, d_vel, d_start_vel = self._update_dribble_all(
+            agents_pos, radius, self.target_net.state.pos[:, None]
+        )
+
+        # reposition branch (~possession).  curr_target replicates the
+        # read-after-masked-write of the sequential form: envs in
+        # possession see the fresh dribble target, others last step's.
+        prev_rel = self._stack_extra("target_pos_rel")  # [B, T, 2]
+        curr_target = jnp.where(
+            possession[..., None], d_pos, prev_rel + ball_pos[:, None]
+        )
+        best_pos = self._check_better_positions_all(
+            agents_pos, curr_target
+        )
+        aggression = (
+            JaxUtils.safe_norm(best_pos - agents_pos, axis=-1) > 0.1
+        ).astype(jnp.float32)
+        m_start_vel = self.get_start_vel(
+            best_pos, jnp.zeros_like(best_pos), agents_pos, aggression
+        )
+
+        pmask = possession[..., None]
+        target_pos = jnp.where(pmask, d_pos, best_pos)
+        target_vel = jnp.where(pmask, d_vel, jnp.zeros_like(d_vel))
+        start_vel = jnp.where(pmask, d_start_vel, m_start_vel)
+        start_pos = agents_pos
+
+        if self.precision_strength != 1:
+            # One batched draw; applied to the selected target (the
+            # sequential form noises each branch's go_to separately —
+            # only the selected branch's noise survives the mask, so
+            # noising once after the select is the same distribution).
+            prev_target = self._stack_extra("target_pos")
+            diff = jnp.linalg.norm(
+                prev_target - target_pos, axis=-1, keepdims=True
+            )
+            exp_diff = jnp.exp(-diff)
+            k1, k2 = jax.random.split(self.world.next_key())
+            scale = 10 * (1 - self.precision_strength) * (1 - exp_diff)
+            target_pos = target_pos + jax.random.normal(
+                k1, target_pos.shape
+            ) * scale
+            target_vel = target_vel + jax.random.normal(
+                k2, target_vel.shape
+            ) * scale
+
+        target_pos_rel = target_pos - ball_pos[:, None]
+        for i, a in enumerate(self.teammates):
+            self._set(a, "target_pos_rel", target_pos_rel[:, i])
+            self._set(a, "target_pos", target_pos[:, i])
+            self._set(a, "target_vel", target_vel[:, i])
+            self._set(a, "start_pos", start_pos[:, i])
+            self._set(a, "start_vel", start_vel[:, i])
+            self.plot_traj(a)
+
+        des_curr_pos = Splines.hermite(
+            start_pos, target_pos, start_vel, target_vel,
+            u=min(self.pos_lookahead, 1), deriv=0,
+        )
+        des_curr_vel = Splines.hermite(
+            start_pos, target_pos, start_vel, target_vel,
+            u=min(self.vel_lookahead, 1), deriv=1,
+        )
+        control = 0.5 * (des_curr_pos - agents_pos) + 0.5 * (
+            des_curr_vel - agents_vel
+        )
+        return control * (self.speed_strength * self.strength_multiplier)
+
+    def _update_dribble_all(self, agents_pos, radius, pos):
+        """Stacked ``update_dribble``: targets for every teammate hitting
+        the ball toward ``pos`` [B, 1, 2] -> (hit_pos [B, T, 2], hit_vel,
+        start_vel)."""
+        ball_pos = self.ball.state.pos[:, None]  # [B, 1, 2]
+        ball_disp = pos - ball_pos
+        ball_dist = jnp.linalg.norm(ball_disp, axis=-1)
+        direction = ball_disp / jnp.maximum(ball_dist, 1e-12)[..., None]
+        hit_vel = direction * self.dribble_speed  # [B, 1, 2]
+        start_vel = self.get_start_vel(
+            ball_pos, hit_vel, agents_pos, aggression=0.0
+        )  # [B, T, 2]
+        start_vel_mag = jnp.linalg.norm(start_vel, axis=-1)
+        offset = jnp.where(
+            (start_vel_mag > 0)[..., None],
+            start_vel / jnp.maximum(start_vel_mag, 1e-12)[..., None],
+            start_vel,
+        )
+        new_direction = direction + 0.5 * offset  # [B, T, 2]
+        new_direction = (
+            new_direction
+            / jnp.maximum(
+                jnp.linalg.norm(new_direction, axis=-1), 1e-12
+            )[..., None]
+        )
+        hit_pos = (
+            ball_pos
+            - new_direction
+            * ((self.ball.shape.radius + radius) * 0.7)[None, :, None]
+        )
+        hit_vel = jnp.broadcast_to(hit_vel, hit_pos.shape)
+        return hit_pos, hit_vel, start_vel
+
+    def _check_better_positions_all(self, agents_pos, curr_target):
+        """Stacked ``check_better_positions``: [B, T, 2] best candidate
+        positions with ONE sample draw for the whole team."""
+        B, T = agents_pos.shape[:2]
+        ball_pos = self.ball.state.pos
+        samples = (
+            jax.random.normal(
+                self.world.next_key(),
+                (B, T, self.nsamples, self.world.dim_p),
+            )
+            * self.sigma
+            * (1 + 3 * (1 - self.decision_strength))
+        )
+        samples = samples.at[:, :, ::2].add(ball_pos[:, None, None])
+        samples = samples.at[:, :, 1::2].add(agents_pos[:, :, None])
+        test_pos = jnp.concatenate(
+            [curr_target[:, :, None, :], samples], axis=2
+        )  # [B, T, S+1, 2]
+        test_pos = self.clamp_pos(test_pos)
+        values = self._get_pos_value_all(test_pos)  # [B, T, S+1]
+        values = values.at[:, :, 0].add(
+            self.replan_margin + 3 * (1 - self.decision_strength)
+        )
+        # First-max where-fold over candidates (see check_better_positions
+        # for why not argmax + take_along_axis).
+        best_pos = test_pos[:, :, 0]
+        best_val = values[:, :, 0]
+        for k in range(1, test_pos.shape[2]):
+            better = (values[:, :, k] > best_val)[..., None]
+            best_pos = jnp.where(better, test_pos[:, :, k], best_pos)
+            best_val = jnp.maximum(best_val, values[:, :, k])
+        return best_pos
+
+    def _get_pos_value_all(self, pos):
+        """Stacked ``get_pos_value``: pos [B, T, S, 2] -> [B, T, S].
+        Own-agent exclusion in the teammate-proximity term is an identity
+        mask zeroing the self column (exactly the concatenate-excluding-
+        self of the per-agent form: a zeroed term adds nothing to the
+        sum-of-squares norm)."""
+        ball_pos = self.ball.state.pos[:, None, None]
+        target_net_pos = self.target_net.state.pos[:, None, None]
+        own_net_pos = self.own_net.state.pos[:, None, None]
+        ball_vec = ball_pos - pos
+        ball_norm = jnp.linalg.norm(ball_vec, axis=-1, keepdims=True)
+        ball_vec = jnp.where(
+            ball_norm > 0, ball_vec / jnp.maximum(ball_norm, 1e-12), 0.0
+        )
+
+        ball_dist = jnp.linalg.norm(pos - ball_pos, axis=-1)
+        ball_dist_value = jnp.exp(-2 * ball_dist**4)
+
+        net_vec = target_net_pos - pos
+        net_norm = jnp.maximum(
+            jnp.linalg.norm(net_vec, axis=-1, keepdims=True), 1e-12
+        )
+        net_vec = net_vec / net_norm
+        side_dot_prod = jnp.sum(ball_vec * net_vec, axis=-1)
+        side_value = jnp.minimum(side_dot_prod + 1.25, 1.0)
+
+        own_net_vec = (own_net_pos - pos) / net_norm
+        defend_dot_prod = jnp.sum(ball_vec * -own_net_vec, axis=-1)
+        defend_value = jnp.maximum(defend_dot_prod, 0.0)
+
+        T = pos.shape[1]
+        if T > 1:
+            team_pos = self.get_separations(teammate=True)  # [B, T, 2]
+            team_dists = jnp.linalg.norm(
+                team_pos[:, None, None] - pos[..., None, :], axis=-1
+            )  # [B, T, S, T']
+            not_self = 1.0 - jnp.eye(T, dtype=jnp.float32)
+            other_agent_value = (
+                -jnp.linalg.norm(
+                    jnp.exp(-5 * team_dists)
+                    * not_self[None, :, None, :],
+                    axis=-1,
+                )
+                + 1
+            )
+        else:
+            other_agent_value = 0
+
+        wall_disps = self.get_wall_separations(pos)
+        wall_dists = jnp.linalg.norm(wall_disps, axis=-1)
+        wall_value = (
+            -jnp.linalg.norm(jnp.exp(-8 * wall_dists), axis=-1) + 1
+        )
+
+        value = (
+            wall_value
+            + other_agent_value
+            + ball_dist_value
+            + side_value
+            + defend_value
+        ) / 5
+        if self.decision_strength != 1:
+            value = value + jax.random.normal(
+                self.world.next_key(), value.shape
+            ) * (1 - self.decision_strength)
+        return value
 
     def dribble_to_goal(self, agent, mask=None):
         self.dribble(agent, self.target_net.state.pos, mask=mask)
@@ -1434,6 +1680,9 @@ class AgentPolicy:
         self.plot_traj(agent)
 
     def get_start_vel(self, pos, vel, start_pos, aggression=0.0):
+        """Works on ``[B, 2]`` and stacked ``[B, T, 2]`` inputs (with
+        broadcasting between them); ``aggression`` is a scalar or matches
+        the leading axes."""
         aggression = jnp.asarray(aggression, jnp.float32)
         vel_mag = 1.0 * aggression + jnp.linalg.norm(vel, axis=-1) * (
             1 - aggression
@@ -1441,20 +1690,20 @@ class AgentPolicy:
         goal_disp = pos - start_pos
         goal_dist = jnp.linalg.norm(goal_disp, axis=-1)
         vel_dir = jnp.where(
-            (vel_mag > 0)[:, None],
-            vel / jnp.maximum(vel_mag, 1e-12)[:, None],
+            (vel_mag > 0)[..., None],
+            vel / jnp.maximum(vel_mag, 1e-12)[..., None],
             vel,
         )
         dist_behind_target = 0.6 * goal_dist
-        target_pos = pos - vel_dir * dist_behind_target[:, None]
+        target_pos = pos - vel_dir * dist_behind_target[..., None]
         target_disp = target_pos - start_pos
-        target_dist = jnp.linalg.norm(target_disp, axis=1)
+        target_dist = jnp.linalg.norm(target_disp, axis=-1)
         start_vel_aug_dir = jnp.where(
-            (target_dist > 0)[:, None],
-            target_disp / jnp.maximum(target_dist, 1e-12)[:, None],
+            (target_dist > 0)[..., None],
+            target_disp / jnp.maximum(target_dist, 1e-12)[..., None],
             target_disp,
         )
-        return start_vel_aug_dir * vel_mag[:, None]
+        return start_vel_aug_dir * vel_mag[..., None]
 
     def get_action(self, agent):
         curr_pos = agent.state.pos
@@ -1731,9 +1980,12 @@ class Splines:
             np.float32,
         )
         U_matmul_A = jnp.asarray(U @ cls.A)  # [4]
-        P = jnp.stack([p0, p1, p0dot, p1dot], axis=1)  # [B, 4, 2]
+        P = jnp.stack([p0, p1, p0dot, p1dot], axis=-2)  # [..., 4, 2]
         return jnp.einsum(
-            "k,bkd->bd", U_matmul_A, P, precision=jax.lax.Precision.HIGHEST
+            "k,...kd->...d",
+            U_matmul_A,
+            P,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     @classmethod
