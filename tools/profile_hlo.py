@@ -21,13 +21,22 @@ from vectorizedmultiagentsimulator_tpu.utils import profiling
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kwargs = {}
+    for a in list(args):
+        if "=" in a:  # scenario kwargs: key=val (int/float/bool literals)
+            args.remove(a)
+            k, v = a.split("=", 1)
+            try:
+                kwargs[k] = json.loads(v)
+            except ValueError:
+                kwargs[k] = v
     scenario, B = args[0], int(args[1])
     n_steps = int(args[2]) if len(args) > 2 else 40
     out_json = None
     if "--json" in sys.argv:
         out_json = sys.argv[sys.argv.index("--json") + 1]
 
-    env = vmt.make_env(scenario, num_envs=B, seed=0)
+    env = vmt.make_env(scenario, num_envs=B, seed=0, **kwargs)
     key = jax.random.PRNGKey(0)
     actions = tuple(
         jax.random.uniform(

@@ -218,6 +218,10 @@ class Scenario(BaseScenario):
                     (-self.world.y_semidim, self.world.y_semidim),
                     current_positions=self._targets_pos,
                     replace_mask=self.covered_targets,
+                    # Per-step path: usually <=1 target per env respawns, so
+                    # keep the per-round proposal block small (the accepted
+                    # distribution is K-independent; see the spawner doc).
+                    proposals_per_round=4,
                 )
                 for i, target in enumerate(self._targets):
                     target.set_pos(new_pos[:, i])

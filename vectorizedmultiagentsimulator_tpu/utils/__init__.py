@@ -290,6 +290,7 @@ class ScenarioUtils:
         y_bounds: Tuple[float, float],
         current_positions: Optional[Array] = None,
         replace_mask: Optional[Array] = None,
+        proposals_per_round: Optional[int] = None,
     ) -> Array:
         """Place ``n_new`` entities at once: ``[B, n_new, 2]`` positions,
         each ``>= min_dist`` from ``occupied_positions`` [B, O, 2] and from
@@ -308,6 +309,14 @@ class ScenarioUtils:
         ``current_positions``/``replace_mask`` serve per-step respawns
         (e.g. discovery target coverage): rows where ``replace_mask`` is
         False keep their current position and still block others.
+
+        ``proposals_per_round`` (default ``SPAWN_PROPOSALS_PER_ROUND``) is a
+        pure performance knob: accepted samples are "first valid of an iid
+        proposal stream" regardless of how the stream is chunked into
+        rounds, so the distribution is unchanged.  Per-step respawn paths
+        (where usually at most one entity per env needs a position) should
+        pass a small value — every round costs O(M·K·(O+M)) distance
+        checks, all wasted on envs with nothing to place.
         """
         # Random placement is gradient-free data (the reference's python
         # rejection loop never participates in autograd); cutting the
@@ -322,21 +331,35 @@ class ScenarioUtils:
         O = occupied_positions.shape[1]
         lo = jnp.asarray([x_bounds[0], y_bounds[0]], dtype=jnp.float32)
         hi = jnp.asarray([x_bounds[1], y_bounds[1]], dtype=jnp.float32)
-        K = ScenarioUtils.SPAWN_PROPOSALS_PER_ROUND
+        K = int(
+            proposals_per_round
+            if proposals_per_round is not None
+            else ScenarioUtils.SPAWN_PROPOSALS_PER_ROUND
+        )
+        assert K >= 1
         has_current = current_positions is not None
         min_d = min_dist_between_entities
 
         key = world.next_key()
+        # Carry the M entity slots as tuples of [B,2]/[B] arrays rather than
+        # one [B,M,2] array: the per-entity fold then updates loop-carried
+        # values directly instead of emitting M dynamic-update-slices per
+        # round (each a full-array copy on TPU).
         if has_current:
-            eff0 = jnp.asarray(current_positions, jnp.float32)
-            ok0 = (
-                ~jnp.asarray(replace_mask, bool)
-                if replace_mask is not None
-                else jnp.zeros((batch_dim, M), bool)
-            )
+            cur = jnp.asarray(current_positions, jnp.float32)
+            eff0 = tuple(cur[:, i] for i in range(M))
+            if replace_mask is not None:
+                rm = jnp.asarray(replace_mask, bool)
+                ok0 = tuple(~rm[:, i] for i in range(M))
+            else:
+                ok0 = tuple(
+                    jnp.zeros((batch_dim,), bool) for _ in range(M)
+                )
         else:
-            eff0 = jnp.zeros((batch_dim, M, 2), jnp.float32)
-            ok0 = jnp.zeros((batch_dim, M), bool)
+            eff0 = tuple(
+                jnp.zeros((batch_dim, 2), jnp.float32) for _ in range(M)
+            )
+            ok0 = tuple(jnp.zeros((batch_dim,), bool) for _ in range(M))
 
         def round_(carry):
             key, eff, ok, tries = carry
@@ -344,7 +367,7 @@ class ScenarioUtils:
             cands = jax.random.uniform(
                 sub, (batch_dim, M, K, 2), minval=lo, maxval=hi
             )
-            new_eff, new_ok = eff, ok
+            new_eff, new_ok = list(eff), list(ok)
             for i in range(M):
                 cand = cands[:, i]  # [B, K, 2]
                 if O:
@@ -360,17 +383,17 @@ class ScenarioUtils:
                         continue
                     # entities earlier in this round's fold see the round's
                     # updates; later ones their pre-round positions
-                    src_eff, src_ok = (
-                        (new_eff, new_ok) if j < i else (eff, ok)
+                    src_eff_j, src_ok_j = (
+                        (new_eff[j], new_ok[j]) if j < i else (eff[j], ok[j])
                     )
                     # present: already placed, or holding a current position
                     present = (
                         jnp.ones((batch_dim,), bool)
                         if has_current
-                        else src_ok[:, j]
+                        else src_ok_j
                     )
                     d_j = jnp.linalg.norm(
-                        src_eff[:, j][:, None] - cand, axis=-1
+                        src_eff_j[:, None] - cand, axis=-1
                     )  # [B, K]
                     valid = valid & ((d_j >= min_d) | ~present[:, None])
                 chosen = cand[:, 0]
@@ -380,21 +403,24 @@ class ScenarioUtils:
                     chosen = jnp.where(take[:, None], cand[:, k], chosen)
                     found = found | valid[:, k]
                 chosen = jnp.where(found[:, None], chosen, cand[:, -1])
-                upd = ~new_ok[:, i]
-                new_eff = new_eff.at[:, i].set(
-                    jnp.where(upd[:, None], chosen, new_eff[:, i])
-                )
-                new_ok = new_ok.at[:, i].set(new_ok[:, i] | found)
-            return key, new_eff, new_ok, tries + K
+                upd = ~new_ok[i]
+                new_eff[i] = jnp.where(upd[:, None], chosen, new_eff[i])
+                new_ok[i] = new_ok[i] | found
+            return key, tuple(new_eff), tuple(new_ok), tries + K
 
         def cond(carry):
             _, _, ok, tries = carry
-            return jnp.any(~ok) & (tries < ScenarioUtils.MAX_SPAWN_TRIES)
+            any_missing = ok[0]
+            for o in ok[1:]:
+                any_missing = any_missing & o
+            return jnp.any(~any_missing) & (
+                tries < ScenarioUtils.MAX_SPAWN_TRIES
+            )
 
         _, eff, _, _ = jax.lax.while_loop(
             cond, round_, (key, eff0, ok0, jnp.int32(0))
         )
-        return eff
+        return jnp.stack(eff, axis=1)
 
     @staticmethod
     def plot_entity_rotation(entity, env_index: int, length: float = 0.15):
