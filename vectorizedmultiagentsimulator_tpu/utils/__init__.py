@@ -361,16 +361,38 @@ class ScenarioUtils:
             )
             ok0 = tuple(jnp.zeros((batch_dim,), bool) for _ in range(M))
 
+        # Respawn path (positive min_dist): all entities scan ONE shared
+        # candidate stream.  Whenever an earlier entity accepts a
+        # candidate, that candidate goes within ``min_d`` of the accepted
+        # position and is therefore invalid for every later entity, so
+        # "first valid of the shared stream" has exactly the joint law of
+        # independent streams — while drawing M× fewer random bits and
+        # checking the occupied set once instead of per entity.  (With
+        # min_d == 0 the self-blocking vanishes and sharing would collapse
+        # all placements onto one point, hence the guard.)
+        share = has_current and min_d > 0 and M > 1
+
         def round_(carry):
             key, eff, ok, tries = carry
             key, sub = jax.random.split(key)
             cands = jax.random.uniform(
-                sub, (batch_dim, M, K, 2), minval=lo, maxval=hi
+                sub,
+                (batch_dim, 1 if share else M, K, 2),
+                minval=lo,
+                maxval=hi,
             )
+            if share and O:
+                d_occ_shared = jnp.linalg.norm(
+                    occupied_positions[:, None] - cands[:, 0, :, None],
+                    axis=-1,
+                )  # [B, K, O]
+                valid_shared = jnp.all(d_occ_shared >= min_d, axis=-1)
             new_eff, new_ok = list(eff), list(ok)
             for i in range(M):
-                cand = cands[:, i]  # [B, K, 2]
-                if O:
+                cand = cands[:, 0 if share else i]  # [B, K, 2]
+                if share and O:
+                    valid = valid_shared
+                elif O:
                     d_occ = jnp.linalg.norm(
                         occupied_positions[:, None] - cand[:, :, None],
                         axis=-1,
@@ -402,7 +424,12 @@ class ScenarioUtils:
                     take = (~found) & valid[:, k]
                     chosen = jnp.where(take[:, None], cand[:, k], chosen)
                     found = found | valid[:, k]
-                chosen = jnp.where(found[:, None], chosen, cand[:, -1])
+                # Give-up value after MAX_SPAWN_TRIES: per-entity distinct
+                # index so shared-stream entities never collapse onto the
+                # same fallback point.
+                chosen = jnp.where(
+                    found[:, None], chosen, cand[:, (K - 1 - i) % K]
+                )
                 upd = ~new_ok[i]
                 new_eff[i] = jnp.where(upd[:, None], chosen, new_eff[i])
                 new_ok[i] = new_ok[i] | found
