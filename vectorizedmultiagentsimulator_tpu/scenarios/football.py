@@ -1466,8 +1466,20 @@ class AgentPolicy:
         return hit_pos, hit_vel, start_vel
 
     def _check_better_positions_all(self, agents_pos, curr_target):
-        """Stacked ``check_better_positions``: [B, T, 2] best candidate
-        positions with ONE sample draw for the whole team."""
+        """Stacked ``check_better_positions`` + ``get_pos_value``
+        (reference football.py:1871-1915): [B, T, 2] best candidate
+        positions with ONE sample draw for the whole team.
+
+        The candidate build + 5-term value function + first-max fold run
+        in a fused Pallas kernel on TPU
+        (``ops.football_policy_pallas``, ~26% of the football step in
+        jnp at B=30k); the jnp mirror in that module is the fallback and
+        the custom-VJP backward.  Both consume the same pre-drawn
+        samples, so the kernel gate never changes the key sequence."""
+        from vectorizedmultiagentsimulator_tpu.ops import (
+            football_policy_pallas as fpp,
+        )
+
         B, T = agents_pos.shape[:2]
         ball_pos = self.ball.state.pos
         samples = (
@@ -1478,92 +1490,32 @@ class AgentPolicy:
             * self.sigma
             * (1 + 3 * (1 - self.decision_strength))
         )
-        samples = samples.at[:, :, ::2].add(ball_pos[:, None, None])
-        samples = samples.at[:, :, 1::2].add(agents_pos[:, :, None])
-        test_pos = jnp.concatenate(
-            [curr_target[:, :, None, :], samples], axis=2
-        )  # [B, T, S+1, 2]
-        test_pos = self.clamp_pos(test_pos)
-        values = self._get_pos_value_all(test_pos)  # [B, T, S+1]
-        values = values.at[:, :, 0].add(
-            self.replan_margin + 3 * (1 - self.decision_strength)
-        )
-        # First-max where-fold over candidates (see check_better_positions
-        # for why not argmax + take_along_axis).
-        best_pos = test_pos[:, :, 0]
-        best_val = values[:, :, 0]
-        for k in range(1, test_pos.shape[2]):
-            better = (values[:, :, k] > best_val)[..., None]
-            best_pos = jnp.where(better, test_pos[:, :, k], best_pos)
-            best_val = jnp.maximum(best_val, values[:, :, k])
-        return best_pos
-
-    def _get_pos_value_all(self, pos):
-        """Stacked ``get_pos_value``: pos [B, T, S, 2] -> [B, T, S].
-        Own-agent exclusion in the teammate-proximity term is an identity
-        mask zeroing the self column (exactly the concatenate-excluding-
-        self of the per-agent form: a zeroed term adds nothing to the
-        sum-of-squares norm)."""
-        ball_pos = self.ball.state.pos[:, None, None]
-        target_net_pos = self.target_net.state.pos[:, None, None]
-        own_net_pos = self.own_net.state.pos[:, None, None]
-        ball_vec = ball_pos - pos
-        ball_norm = jnp.linalg.norm(ball_vec, axis=-1, keepdims=True)
-        ball_vec = jnp.where(
-            ball_norm > 0, ball_vec / jnp.maximum(ball_norm, 1e-12), 0.0
-        )
-
-        ball_dist = jnp.linalg.norm(pos - ball_pos, axis=-1)
-        ball_dist_value = jnp.exp(-2 * ball_dist**4)
-
-        net_vec = target_net_pos - pos
-        net_norm = jnp.maximum(
-            jnp.linalg.norm(net_vec, axis=-1, keepdims=True), 1e-12
-        )
-        net_vec = net_vec / net_norm
-        side_dot_prod = jnp.sum(ball_vec * net_vec, axis=-1)
-        side_value = jnp.minimum(side_dot_prod + 1.25, 1.0)
-
-        own_net_vec = (own_net_pos - pos) / net_norm
-        defend_dot_prod = jnp.sum(ball_vec * -own_net_vec, axis=-1)
-        defend_value = jnp.maximum(defend_dot_prod, 0.0)
-
-        T = pos.shape[1]
-        if T > 1:
-            team_pos = self.get_separations(teammate=True)  # [B, T, 2]
-            team_dists = jnp.linalg.norm(
-                team_pos[:, None, None] - pos[..., None, :], axis=-1
-            )  # [B, T, S, T']
-            not_self = 1.0 - jnp.eye(T, dtype=jnp.float32)
-            other_agent_value = (
-                -jnp.linalg.norm(
-                    jnp.exp(-5 * team_dists)
-                    * not_self[None, :, None, :],
-                    axis=-1,
-                )
-                + 1
-            )
-        else:
-            other_agent_value = 0
-
-        wall_disps = self.get_wall_separations(pos)
-        wall_dists = jnp.linalg.norm(wall_disps, axis=-1)
-        wall_value = (
-            -jnp.linalg.norm(jnp.exp(-8 * wall_dists), axis=-1) + 1
-        )
-
-        value = (
-            wall_value
-            + other_agent_value
-            + ball_dist_value
-            + side_value
-            + defend_value
-        ) / 5
-        if self.decision_strength != 1:
-            value = value + jax.random.normal(
-                self.world.next_key(), value.shape
+        params = self.__dict__.get("_planner_params")
+        if params is None or params.T != T:
+            params = fpp.planner_params(self)
+            self._planner_params = params
+        value_noise = None
+        if params.has_noise:
+            # Same draw order as the pre-kernel inline chain: samples
+            # first, then the value noise (inside get_pos_value).
+            value_noise = jax.random.normal(
+                self.world.next_key(), (B, T, self.nsamples + 1)
             ) * (1 - self.decision_strength)
-        return value
+        fn = (
+            fpp.fused_best_positions
+            if fpp.policy_enabled()
+            else fpp.best_positions_jnp
+        )
+        return fn(
+            params,
+            agents_pos,
+            curr_target,
+            samples,
+            ball_pos,
+            self.target_net.state.pos,
+            self.own_net.state.pos,
+            value_noise,
+        )
 
     def dribble_to_goal(self, agent, mask=None):
         self.dribble(agent, self.target_net.state.pos, mask=mask)
