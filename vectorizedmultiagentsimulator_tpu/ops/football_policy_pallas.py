@@ -401,7 +401,22 @@ def fused_best_positions(
     value_noise,
 ):
     """Pallas-fused scripted-AI candidate planner: [B,T,2] best target
-    positions.  ``value_noise`` must be None iff ``not p.has_noise``."""
+    positions.  ``value_noise`` must be None iff ``not p.has_noise``
+    (asserted at trace time).
+
+    Gradient caveat (API completeness only — the reference never
+    differentiates the scripted AI, tests/test_vmas.py:281-285): the
+    backward pass replays the jnp mirror, whose wall-distance form differs
+    from the kernel's collapsed |mag| form at the ulp level; on rows where
+    two candidate values tie to within ulps the mirror can pick a
+    different argmax candidate, so the gradient then corresponds to that
+    other candidate, silently.  Exact-tie rows are measure-zero under the
+    uniform candidate sampling."""
+    assert (value_noise is None) == (not p.has_noise), (
+        "fused_best_positions: value_noise must be provided iff "
+        f"p.has_noise (has_noise={p.has_noise}, "
+        f"value_noise={'None' if value_noise is None else 'array'})"
+    )
     cache = fused_best_positions.__dict__.setdefault("_cache", {})
     fwd = cache.get(p)
     if fwd is None:

@@ -1490,10 +1490,10 @@ class AgentPolicy:
             * self.sigma
             * (1 + 3 * (1 - self.decision_strength))
         )
-        params = self.__dict__.get("_planner_params")
-        if params is None or params.T != T:
-            params = fpp.planner_params(self)
-            self._planner_params = params
+        # planner_params is a cheap static-config build; recompute every
+        # call so any post-construction change to decision_strength /
+        # nsamples / pitch dims can never serve a stale cached config.
+        params = fpp.planner_params(self)
         value_noise = None
         if params.has_noise:
             # Same draw order as the pre-kernel inline chain: samples
