@@ -172,3 +172,150 @@ def test_unsupported_configs_fall_back(pallas_interpret):
     assert not physics_pallas.step_supported(env.world)
     # ...and they still run
     env.step(env.get_random_actions())
+
+
+def test_pallas_choice_pinned_at_construction(pallas_interpret):
+    """The VMT_PALLAS_* flags are read ONCE per world (at construction /
+    Environment freeze): an env built with the fused step disabled must
+    stay on the jnp path even if the flag flips before its first step —
+    otherwise A/B comparisons like _compare silently compare Pallas
+    against itself."""
+    from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
+
+    os.environ["VMT_PALLAS_STEP"] = "0"
+    env_j = vmt.make_env("transport", num_envs=4, seed=0)
+    os.environ["VMT_PALLAS_STEP"] = "1"
+    env_p = vmt.make_env("transport", num_envs=4, seed=0)
+    assert env_j.world._pallas_choices["step"] is False
+    assert env_p.world._pallas_choices["step"] is True
+    assert env_j.state.phys_pack is None
+    assert env_p.state.phys_pack is not None
+
+    called = []
+    orig = physics_pallas.fused_step
+    orig_packed = physics_pallas.fused_step_packed
+
+    def spy(*a, **k):
+        called.append(1)
+        return orig(*a, **k)
+
+    def spy_packed(*a, **k):
+        called.append(1)
+        return orig_packed(*a, **k)
+
+    physics_pallas.fused_step = spy
+    physics_pallas.fused_step_packed = spy_packed
+    try:
+        env_j.step(env_j.get_random_actions())
+        assert not called, "jnp-pinned env took the fused kernel"
+        env_p.step(env_p.get_random_actions())
+        assert called, "pallas-pinned env skipped the fused kernel"
+    finally:
+        physics_pallas.fused_step = orig
+        physics_pallas.fused_step_packed = orig_packed
+
+
+def test_phys_pack_mirror_coherence(pallas_interpret):
+    """state.phys_pack must stay bitwise equal to the native
+    pos/vel/rot/ang_vel through steps, partial resets and scenario
+    set_pos writes (discovery respawns targets mid-step)."""
+    import jax.numpy as jnp
+
+    from vectorizedmultiagentsimulator_tpu.ops import physics_pallas as pp
+
+    def assert_mirror(env):
+        s = env.state
+        R = pp.pack_R(s.pos.shape[0])
+        N = s.pos.shape[1]
+        for packed, native, shape in (
+            (s.phys_pack[0], s.pos, (N, 2)),
+            (s.phys_pack[1], s.vel, (N, 2)),
+            (s.phys_pack[2], s.rot, (N, 1)),
+            (s.phys_pack[3], s.ang_vel, (N, 1)),
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(pp.unpack_rows(packed, shape, R)),
+                np.asarray(native),
+            )
+
+    env = vmt.make_env(
+        "discovery", num_envs=4, seed=0, n_agents=3, n_targets=3
+    )
+    assert env.state.phys_pack is not None
+    assert_mirror(env)
+    for _ in range(3):
+        env.step(env.get_random_actions())
+        assert_mirror(env)
+    env.reset_at(2)
+    assert_mirror(env)
+
+    # Hand-built states: replacing natives with phys_pack=None is the
+    # sanctioned edit pattern — the step takes the native-interface
+    # kernel and must produce the same physics as a coherent mirror.
+    s = env.state
+    moved = s.replace(pos=s.pos + 0.25, phys_pack=None)
+    env2 = vmt.make_env(
+        "discovery", num_envs=4, seed=0, n_agents=3, n_targets=3
+    )
+    state_out, _ = env2.step_fn(moved, env2.get_random_actions())
+    ref_in = s.replace(pos=s.pos + 0.25)
+    ref_in = ref_in.replace(
+        phys_pack=pp.pack_state(ref_in.pos, ref_in.vel, ref_in.rot,
+                                ref_in.ang_vel)
+    )
+    env3 = vmt.make_env(
+        "discovery", num_envs=4, seed=0, n_agents=3, n_targets=3
+    )
+    state_ref, _ = env3.step_fn(ref_in, env3.get_random_actions())
+    assert state_ref.phys_pack is not None
+    np.testing.assert_array_equal(
+        np.asarray(state_out.pos), np.asarray(state_ref.pos)
+    )
+
+
+def test_phys_pack_sharding(pallas_interpret):
+    """The packed mirror shards on dim 1 when the mesh divides B/R
+    (num_envs=64, R=8 -> BT=8 over 8 devices), keeping the
+    zero-collective sharded step; an incompatible mesh (num_envs=16 ->
+    BT=2) strips the mirror and falls back to the native-interface
+    kernel — both must match the unsharded jnp path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from vectorizedmultiagentsimulator_tpu.parallel import (
+        make_mesh,
+        shard_environment,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh()
+
+    for B, keeps_pack in ((64, True), (16, False)):
+        env = vmt.make_env("transport", num_envs=B, seed=0)
+        assert env.state.phys_pack is not None
+        shard_environment(env, mesh)
+        assert (env.state.phys_pack is not None) == keeps_pack, B
+        acts = tuple(
+            jnp.zeros((B, a.action_size)) for a in env.agents
+        )
+        if keeps_pack:
+            assert "envs" in str(env.state.phys_pack[0].sharding.spec)
+            txt = (
+                jax.jit(env.step_fn)
+                .lower(env.state, acts)
+                .compile()
+                .as_text()
+            )
+            for coll in ("all-gather", "all-reduce", "collective-permute"):
+                assert txt.count(coll) == 0, f"packed sharded step: {coll}"
+        env.reset(seed=0)
+        o_sharded = env.step(list(acts))
+
+        os.environ["VMT_PALLAS_STEP"] = "0"
+        env_ref = vmt.make_env("transport", num_envs=B, seed=0)
+        os.environ["VMT_PALLAS_STEP"] = "1"
+        env_ref.reset(seed=0)
+        o_ref = env_ref.step(list(acts))
+        for a, b in zip(o_sharded[0], o_ref[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

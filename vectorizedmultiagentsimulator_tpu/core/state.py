@@ -24,10 +24,20 @@ to mirror ``World.entities`` in the reference core.py:1220-1222):
   action_c [B, A, C]   comm actions
   extras   dict[str, Array]  scenario/dynamics/controller buffers
   key      PRNG key    steps  [B] int32
+  phys_pack  None, or 4 arrays [F*R, B/R] — the (pos, vel, rot, ang_vel)
+           mirror in the fused Pallas physics kernel's packed layout
+           (ops/physics_pallas.py pack_rows).  Maintained by World so
+           consecutive fused steps feed each other without the
+           native<->kernel relayout in the hot loop (the relayouts were
+           ~20% of transport@30k step time); always equal to
+           pack_rows(pos/vel/rot/ang_vel).  Worlds on the jnp path keep
+           it None.  If you hand-build a state with modified
+           pos/vel/rot/ang_vel, pass ``phys_pack=None`` in the same
+           ``replace`` call — the next step repacks from the natives.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +60,7 @@ class WorldState:
     extras: Dict[str, Any]
     key: Array
     steps: Array
+    phys_pack: Optional[Tuple[Array, Array, Array, Array]] = None
 
     @staticmethod
     def zeros(

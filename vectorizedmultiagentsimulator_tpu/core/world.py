@@ -94,6 +94,23 @@ class World:
         self._finalized = False
         self._state: Optional[WorldState] = None
         self._allow_new_extras = True
+        self._pallas_choices: Dict[str, bool] = {}
+
+    def _pallas_choice(self, name: str, fn) -> bool:
+        """Pin a Pallas on/off decision per world at first consultation.
+
+        The ``VMT_PALLAS_*`` environment flags are otherwise read at
+        trace time, so an env constructed with a kernel disabled would
+        silently switch paths if the flag changed before its first
+        step/retrace (A/B comparisons construct a jnp env and a Pallas
+        env side by side and step them interleaved — both would end up
+        on whichever path the flag named last).  ``Environment._freeze``
+        consults the step decision eagerly so every world is pinned by
+        the flags in force at construction."""
+        d = self._pallas_choices
+        if name not in d:
+            d[name] = bool(fn())
+        return d[name]
 
     # ------------------------------------------------------------------ #
     # Builder API
@@ -483,10 +500,46 @@ class World:
         extras[key] = value
         self._state = self._state.replace(extras=extras)
 
+    def _write_state(self, **updates):
+        """Every write to pos/vel/rot/ang_vel funnels through here so the
+        packed physics mirror (``state.phys_pack``, the fused Pallas
+        kernel's layout) stays equal to the natives.  Repacks are pure
+        reshapes; under jit every mirror overwritten by a later write in
+        the same trace is dead code, so only the final pack per array
+        survives — and the physics step supplies its own mirror, keeping
+        the steady-state hot loop relayout-free."""
+        s = self._state
+        pk = s.phys_pack
+        if pk is not None and "phys_pack" not in updates and any(
+            k in updates for k in ("pos", "vel", "rot", "ang_vel")
+        ):
+            from vectorizedmultiagentsimulator_tpu.ops import (
+                physics_pallas as pp,
+            )
+
+            R = pp.pack_R(self._batch_dim)
+            names = ("pos", "vel", "rot", "ang_vel")
+            updates["phys_pack"] = tuple(
+                pp.pack_rows(updates[n], R) if n in updates else pk[i]
+                for i, n in enumerate(names)
+            )
+        self._state = s.replace(**updates)
+
+    def _init_phys_pack(self):
+        """Materialize the packed mirror for fused-Pallas worlds (called
+        once at Environment freeze, keeping the state treedef stable for
+        scan carries)."""
+        from vectorizedmultiagentsimulator_tpu.ops import physics_pallas as pp
+
+        s = self._state
+        self._state = s.replace(
+            phys_pack=pp.pack_state(s.pos, s.vel, s.rot, s.ang_vel)
+        )
+
     def _set_entity_array(self, field: str, idx: int, value):
         arr = getattr(self._state, field)
         value = jnp.asarray(value, dtype=arr.dtype)
-        self._state = self._state.replace(
+        self._write_state(
             **{field: arr.at[:, idx].set(jnp.broadcast_to(value, arr[:, idx].shape))}
         )
 
@@ -526,7 +579,7 @@ class World:
         else:
             mask = env_index_to_mask(batch_index, self._batch_dim)
             new = jnp.where(mask[:, None], value, row)
-        self._state = self._state.replace(**{field: arr.at[:, idx].set(new)})
+        self._write_state(**{field: arr.at[:, idx].set(new)})
 
     def _reset_entity(self, entity: Entity, env_index=None):
         mask = env_index_to_mask(env_index, self._batch_dim)
@@ -550,7 +603,7 @@ class World:
                 ),
                 u=s.u.at[:, j].set(jnp.where(m2, 0.0, s.u[:, j])),
             )
-        self._state = s.replace(**updates)
+        self._write_state(**updates)
         if isinstance(entity, Agent):
             entity.dynamics.reset(env_index)
 
@@ -559,7 +612,7 @@ class World:
         mask = env_index_to_mask(env_index, self._batch_dim)
         m = mask[:, None, None]
         s = self._state
-        self._state = s.replace(
+        self._write_state(
             pos=jnp.where(m, 0.0, s.pos),
             vel=jnp.where(m, 0.0, s.vel),
             rot=jnp.where(m, 0.0, s.rot),
@@ -620,31 +673,50 @@ class World:
             dyn_g = physics_pallas.stacked_dyn_gravity(
                 self, s.extras, s.pos.shape[0]
             )
-            pos, vel, rot, ang_vel = physics_pallas.fused_step(
-                self, s.pos, s.vel, s.rot, s.ang_vel, force_a, torque_a,
-                dyn_g,
-            )
+            cache = s.phys_pack
+            if cache is not None:
+                # Fast path: state rides in the kernel's packed layout
+                # across steps — zero relayout in the hot loop.
+                (pos, vel, rot, ang_vel, *new_pack) = (
+                    physics_pallas.fused_step_packed(
+                        self, *cache, force_a, torque_a, dyn_g
+                    )
+                )
+                extra_updates = dict(phys_pack=tuple(new_pack))
+            else:
+                # Hand-built state, direct World use, or a mesh whose
+                # per-shard batch cannot hold the global packing factor
+                # (shard_environment strips the mirror then): native
+                # interface, per-step local pack/unpack.
+                pos, vel, rot, ang_vel = physics_pallas.fused_step(
+                    self, s.pos, s.vel, s.rot, s.ang_vel, force_a,
+                    torque_a, dyn_g,
+                )
+                extra_updates = {}
         else:
             pos, vel, rot, ang_vel = self._step_core(
                 s.pos, s.vel, s.rot, s.ang_vel, force_a, torque_a, s.extras
             )
+            extra_updates = {}
 
         updates = dict(pos=pos, vel=vel, rot=rot, ang_vel=ang_vel,
-                       force=force_a, torque=torque_a)
+                       force=force_a, torque=torque_a, **extra_updates)
         # Comm state update (core.py:2910-2913)
         if self._dim_c > 0 and A:
             silent = jnp.asarray(self._silent)[None, :, None]
             updates["c"] = jnp.where(silent, s.c, s.action_c)
-        self._state = s.replace(**updates)
+        self._write_state(**updates)
 
     def _pallas_step_ok(self) -> bool:
-        """The fused Pallas substep kernel supports the common scenario
-        subset: sphere-sphere and (solid) box-sphere contacts, no joints,
-        no friction, no dynamic gravity.  Everything else falls back to the
-        jnp path (identical semantics; see ops/physics_pallas.py)."""
+        """Whether this world's step runs the fused Pallas kernel
+        (ops/physics_pallas.py); unsupported configs fall back to the
+        jnp path with identical semantics.  Pinned per world on first
+        consultation (see ``_pallas_choice``)."""
         from vectorizedmultiagentsimulator_tpu.ops import physics_pallas
 
-        return physics_pallas.step_supported(self)
+        return self._pallas_choice(
+            "step", lambda: physics_pallas.step_supported(self)
+        )
 
     def _step_core(self, pos, vel, rot, ang_vel, force_a, torque_a, extras):
         """Pure physics core: action/gravity/friction forces, pair
@@ -1101,7 +1173,7 @@ class World:
                 )
         from vectorizedmultiagentsimulator_tpu.ops import raycast_pallas as rcp
 
-        if rcp.pallas_lidar_enabled():
+        if self._pallas_choice("lidar", rcp.pallas_lidar_enabled):
             B = pos.shape[0]
 
             def flat_pos(idx, width):

@@ -125,6 +125,18 @@ class Environment:
     def _freeze(self):
         self._frozen = True
         self.world._allow_new_extras = False
+        # Pin the fused-step on/off decision now, while the VMT_PALLAS_*
+        # flags in force at construction still apply (the LIDAR/road
+        # decisions pin themselves during the eager init reset's
+        # observation pass).  See World._pallas_choice.
+        if (
+            self.world._pallas_step_ok()
+            and self.world.state.phys_pack is None
+        ):
+            # Materialize the packed physics mirror once so the state
+            # treedef is stable for scan carries; thereafter the fused
+            # kernel feeds itself and the hot loop never repacks.
+            self.world._init_phys_pack()
         maybe_jit = jax.jit if self._jit_compile else (lambda f, **kw: f)
 
         def _functional(impl):

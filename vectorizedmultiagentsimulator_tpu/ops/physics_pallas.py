@@ -658,15 +658,224 @@ def _make_kernel(world, R=1):
     return kernel
 
 
-def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
-                    dyn_g):
-    B, N = pos.shape[0], pos.shape[1]
-    A = force_a.shape[1]
+def pack_R(B: int) -> int:
+    """Sublane packing factor: a [1, TB] feature row uses 1 of 8 vreg
+    sublanes; splitting the batch as [R=8, B/8] per feature fills the
+    vreg (~8x VPU utilization, measured ~3x step time on
+    transport@30k)."""
+    return 8 if B % 8 == 0 else 1
+
+
+def _pack_rows_local(x, R: int):
+    """[B, *feat] -> [F*R, B/R] kernel-layout rows: row ``f*R+s``,
+    column ``l`` holds env ``s*(B/R)+l`` of feature ``f``.
+
+    Transpose-FIRST: the state arrays live batch-minor ({0,2,1}
+    layouts) inside the step, so ``moveaxis(0, -1)`` is a near-bitcast
+    and XLA only pays the T(2,128)->T(8,128) retile.  (The alternative
+    env=``l*R+s`` convention — contiguous env blocks per column, which
+    would make the GLOBAL reshape shard-friendly — lowers to sublane/
+    lane transpose copies costing ~2x the whole step at 30k envs;
+    hence the shard-LOCAL wrappers below instead.)"""
+    B = x.shape[0]
+    F = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
+    t = jnp.moveaxis(x, 0, -1).reshape(F, B)
+    return t.reshape(F * R, B // R)
+
+
+def _unpack_rows_local(x, shape: Tuple[int, ...], R: int):
+    """Inverse of ``_pack_rows_local``: [F*R, BT] -> [B, *shape]."""
+    B = x.shape[1] * R
+    t = x.reshape(tuple(shape) + (B,))
+    return jnp.moveaxis(t, -1, 0)
+
+
+def _axis_of(sharding, dim):
+    spec = getattr(sharding, "spec", None)
+    if spec is None or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_op(R: int, F: int):
+    """Shard-local ``_pack_rows_local`` as a custom-partitioned op.
+
+    The packed mirror crosses jit/scan boundaries inside the state
+    pytree (``WorldState.phys_pack``), so on a sharded env EVERY
+    producer/consumer must agree on which envs live in which columns.
+    The cheap packing above is only cheap shard-locally (its global
+    form spreads each device's envs across sublane groups), so this op
+    pins shard-local semantics: each device packs its own contiguous
+    env block, dim 1 of the result carries the env axis, and the fused
+    kernel's partition rule sees exactly matching blocks.  On one
+    device it is the plain cheap reshape."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def op(x):
+        return _pack_rows_local(x, R)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh = arg_shapes[0].sharding
+        return NamedSharding(sh.mesh, PartitionSpec(None, _axis_of(sh, 0)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = arg_shapes[0].sharding
+        b = _axis_of(sh, 0)
+        ndim = arg_shapes[0].ndim
+        arg_shardings = (
+            NamedSharding(sh.mesh, PartitionSpec(b, *([None] * (ndim - 1)))),
+        )
+        result_shardings = NamedSharding(sh.mesh, PartitionSpec(None, b))
+
+        def lower(x):
+            return _pack_rows_local(x, R)
+
+        return mesh, lower, result_shardings, arg_shardings
+
+    # Propagation-only rule: env sharding on the native batch dim
+    # corresponds to dim-1 block sharding of the packed form (the
+    # per-shard data layout itself is what partition() implements).
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="(q s) e i -> (f s2) q",
+        s=R,
+        s2=R,
+        f=F,
+    )
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_op(shape: Tuple[int, ...], R: int):
+    """Shard-local inverse of ``_pack_op`` (see there)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def op(x):
+        return _unpack_rows_local(x, shape, R)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh = arg_shapes[0].sharding
+        ndim = result_shape.ndim
+        return NamedSharding(
+            sh.mesh,
+            PartitionSpec(_axis_of(sh, 1), *([None] * (ndim - 1))),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = arg_shapes[0].sharding
+        b = _axis_of(sh, 1)
+        ndim = result_shape.ndim
+        arg_shardings = (NamedSharding(sh.mesh, PartitionSpec(None, b)),)
+        result_shardings = NamedSharding(
+            sh.mesh, PartitionSpec(b, *([None] * (ndim - 1)))
+        )
+
+        def lower(x):
+            return _unpack_rows_local(x, shape, R)
+
+        return mesh, lower, result_shardings, arg_shardings
+
+    op.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="(f s2) q -> (q s) e i",
+        s=R,
+        s2=R,
+        f=int(np.prod(shape)),
+    )
+    return op
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_vjp(R: int, feat_shape: Tuple[int, ...]):
+    """custom_partitioning has no differentiation rule, but pack/unpack
+    are value permutations — transpose(pack) == unpack exactly — so the
+    custom VJPs here make the ops transparent to reverse-mode AD (the
+    mirror is written inside differentiated rollouts whenever a
+    scenario calls set_pos)."""
+    F = int(np.prod(feat_shape)) if feat_shape else 1
+    op = _pack_op(R, F)
+
+    @jax.custom_vjp
+    def f(x):
+        return op(x)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        return (_unpack_op(feat_shape, R)(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _unpack_vjp(shape: Tuple[int, ...], R: int):
+    op = _unpack_op(shape, R)
+    F = int(np.prod(shape)) if shape else 1
+
+    @jax.custom_vjp
+    def f(x):
+        return op(x)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        return (_pack_op(R, F)(g),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def pack_rows(x, R: int):
+    """[B, *feat] -> [F*R, B/R] packed kernel layout (shard-local
+    semantics; see ``_pack_op``)."""
+    return _pack_vjp(R, tuple(x.shape[1:]))(x)
+
+
+def unpack_rows(x, shape: Tuple[int, ...], R: int):
+    """[F*R, BT] -> [B, *shape] (shard-local inverse of
+    ``pack_rows``)."""
+    return _unpack_vjp(tuple(shape), R)(x)
+
+
+def pack_state(pos, vel, rot, ang_vel):
+    """The 4-array packed physics mirror (``WorldState.phys_pack``)."""
+    R = pack_R(pos.shape[0])
+    return (
+        pack_rows(pos, R),
+        pack_rows(vel, R),
+        pack_rows(rot, R),
+        pack_rows(ang_vel, R),
+    )
+
+
+def _pallas_forward_packed(world, ppos, pvel, prot, pangvel, force_a,
+                           torque_a, dyn_g):
+    """Packed-in/packed-out fused step (the phys_pack fast path).
+
+    State operands arrive in the kernel's packed layout (the
+    ``phys_pack`` mirror carried in the state pytree), so consecutive
+    steps feed each other with ZERO relayout; only the per-step force/
+    torque/dyn-gravity operands are packed here, and the native-layout
+    results are unpacked once for observations/rewards.  Returns
+    ``(pos, vel, rot, ang_vel, ppos', pvel', prot', pangvel')``.
+
+    ``R`` comes from the packed operand's row count (not from the local
+    batch) so the same kernel layout holds per shard when this runs as a
+    partition lower_fn."""
+    B, A = force_a.shape[0], force_a.shape[1]
+    N = world._n_entities
     D = dyn_g.shape[1]
-    # Sublane packing: a [1, TB] feature row uses 1 of 8 vreg sublanes;
-    # splitting the batch as [R=8, B/8] per feature fills the vreg
-    # (~8x VPU utilization, measured ~3x step time on transport@30k).
-    R = 8 if B % 8 == 0 else 1
+    R = ppos.shape[0] // (2 * N)
     BT = B // R
     kernel = _make_kernel(world, R)
     grid = (pl.cdiv(BT, _TB),)
@@ -676,22 +885,13 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
             (height * R, _TB), lambda i: (0, i), memory_space=pltpu.VMEM
         )
 
-    def pack(x, F):
-        # [B, ...] -> [..., B] -> [F, B] -> [F*R, B/R]
-        # (row f*R+s, col l = env s*BT+l).  Transpose-FIRST: the state
-        # arrays live batch-minor ({0,2,1} layouts) inside the step, so
-        # moveaxis(0, -1) is a near-bitcast and XLA only pays the
-        # T(2,128)->T(8,128) retile instead of a full relayout.
-        t = jnp.moveaxis(x, 0, -1).reshape(F, B)
-        return t.reshape(F * R, BT)
-
-    pos_t = pack(pos, 2 * N)
-    vel_t = pack(vel, 2 * N)
-    rot_t = pack(rot, N)
-    angvel_t = pack(ang_vel, N)
-    force_t = pack(force_a, 2 * A) if A else jnp.zeros((2 * R, BT))
-    torque_t = pack(torque_a, A) if A else jnp.zeros((R, BT))
-    dyn_t = pack(dyn_g, 2 * D) if D else jnp.zeros((2 * R, BT))
+    force_t = (
+        _pack_rows_local(force_a, R) if A else jnp.zeros((2 * R, BT))
+    )
+    torque_t = (
+        _pack_rows_local(torque_a, R) if A else jnp.zeros((R, BT))
+    )
+    dyn_t = _pack_rows_local(dyn_g, R) if D else jnp.zeros((2 * R, BT))
 
     out = pl.pallas_call(
         kernel,
@@ -718,31 +918,106 @@ def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
             jax.ShapeDtypeStruct((N * R, BT), jnp.float32),
         ],
         interpret=os.environ.get("VMT_PALLAS_INTERPRET") == "1",
-    )(pos_t, vel_t, rot_t, angvel_t, force_t, torque_t, dyn_t)
+    )(ppos, pvel, prot, pangvel, force_t, torque_t, dyn_t)
 
-    def unpack(x, shape):
-        # [F*R, BT] -> [*shape, B] -> [B, *shape] (bitcast to the
-        # batch-minor layout + retile, mirror of pack above)
-        t = x.reshape(shape + (B,))
-        return jnp.moveaxis(t, -1, 0)
+    new_pos = _unpack_rows_local(out[0], (N, 2), R)
+    new_vel = _unpack_rows_local(out[1], (N, 2), R)
+    new_rot = _unpack_rows_local(out[2], (N, 1), R)
+    new_angvel = _unpack_rows_local(out[3], (N, 1), R)
+    return (new_pos, new_vel, new_rot, new_angvel,
+            out[0], out[1], out[2], out[3])
 
-    new_pos = unpack(out[0], (N, 2))
-    new_vel = unpack(out[1], (N, 2))
-    new_rot = unpack(out[2], (N, 1))
-    new_angvel = unpack(out[3], (N, 1))
-    return new_pos, new_vel, new_rot, new_angvel
+
+def _pallas_forward(world, pos, vel, rot, ang_vel, force_a, torque_a,
+                    dyn_g):
+    """Native-interface fused step: packs the state locally, runs the
+    kernel, unpacks.  Used when no ``phys_pack`` mirror is carried —
+    hand-built states, and meshes whose per-shard batch cannot hold the
+    global packing factor (``shard_environment`` strips the mirror
+    then).  ``R`` adapts to the (possibly per-shard) batch."""
+    B = pos.shape[0]
+    N = pos.shape[1]
+    R = pack_R(B)
+    out = _pallas_forward_packed(
+        world,
+        _pack_rows_local(pos, R),
+        _pack_rows_local(vel, R),
+        _pack_rows_local(rot, R),
+        _pack_rows_local(ang_vel, R),
+        force_a,
+        torque_a,
+        dyn_g,
+    )
+    return out[:4]
+
+
+def _partitioned_forward_packed(world):
+    """SPMD rule for the packed-interface fused step.
+
+    GSPMD cannot partition a custom (Pallas) call by itself: without a
+    rule a batch-sharded step compiles with all-gathers around the
+    kernel (measured: 18 all-gathers + 196 collective-permutes on an
+    8-device mesh vs ZERO for the jnp path).  Envs are embarrassingly
+    parallel: packed operands/results shard on dim 1 (columns are the
+    per-shard env blocks, matching the shard-local ``_pack_op``
+    convention), native operands/results on dim 0.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    @custom_partitioning
+    def fwd(ppos, pvel, prot, pangvel, force_a, torque_a, dyn_g):
+        return _pallas_forward_packed(world, ppos, pvel, prot, pangvel,
+                                      force_a, torque_a, dyn_g)
+
+    def _env_axis(arg_shapes):
+        return _axis_of(arg_shapes[0].sharding, 1) or _axis_of(
+            arg_shapes[4].sharding, 0
+        )
+
+    def _shardings(mesh, b):
+        packed = NamedSharding(mesh, PartitionSpec(None, b))
+
+        def native(ndim):
+            return NamedSharding(
+                mesh, PartitionSpec(b, *([None] * (ndim - 1)))
+            )
+
+        args = (packed,) * 4 + (native(3),) * 3
+        results = (native(3),) * 4 + (packed,) * 4
+        return args, results
+
+    def infer(mesh, arg_shapes, result_shape):
+        _, results = _shardings(
+            arg_shapes[0].sharding.mesh, _env_axis(arg_shapes)
+        )
+        return results
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings, result_shardings = _shardings(
+            arg_shapes[0].sharding.mesh, _env_axis(arg_shapes)
+        )
+
+        def lower_fn(*args):
+            return _pallas_forward_packed(world, *args)
+
+        return mesh, lower_fn, result_shardings, arg_shardings
+
+    fwd.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "p q, p q, s q, s q, b a i, b a w, b d i"
+            " -> b e i, b e i, b e w, b e w, p q, p q, s q, s q"
+        ),
+    )
+    return fwd
 
 
 def _partitioned_forward(world):
-    """Wrap ``_pallas_forward`` with an SPMD partitioning rule.
-
-    GSPMD cannot partition a custom (Pallas) call by itself: without this
-    rule a batch-sharded step compiles with all-gathers around the kernel
-    (measured: 18 all-gathers + 196 collective-permutes on an 8-device
-    mesh vs ZERO for the jnp path).  The env batch is embarrassingly
-    parallel, so the rule shards every operand/result on dim 0 and runs
-    the same kernel on each device's local shard — restoring the
-    zero-collective data-parallel step on multi-chip meshes.
+    """SPMD rule for the native-interface fused step: every operand and
+    result shards on dim 0 (the env batch); each shard packs/unpacks
+    locally with its own batch-adapted ``R`` (see ``_pallas_forward``).
     """
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec
@@ -753,9 +1028,7 @@ def _partitioned_forward(world):
                                torque_a, dyn_g)
 
     def _batch_only(sharding, ndim):
-        """Keep only the batch (dim 0) factor of an operand sharding."""
-        spec = getattr(sharding, "spec", None)
-        b = spec[0] if spec is not None and len(spec) else None
+        b = _axis_of(sharding, 0)
         return NamedSharding(
             sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1)))
         )
@@ -783,18 +1056,23 @@ def _partitioned_forward(world):
         partition=partition,
         infer_sharding_from_operands=infer,
         sharding_rule=(
-            "b e i, b e i, b e r, b e r, b a i, b a r, b d i"
+            "b e i, b e i, b e r, b e r, b a i, b a r2, b d i"
             " -> b e i, b e i, b e r, b e r"
         ),
     )
     return fwd
 
 
-def _get_partitioned_forward(world):
-    fwd = world.__dict__.get("_pallas_partitioned_fwd")
+def _get_partitioned_forward(world, packed: bool):
+    key = "_pallas_partitioned_fwd_p" if packed else "_pallas_partitioned_fwd"
+    fwd = world.__dict__.get(key)
     if fwd is None:
-        fwd = _partitioned_forward(world)
-        world._pallas_partitioned_fwd = fwd
+        fwd = (
+            _partitioned_forward_packed(world)
+            if packed
+            else _partitioned_forward(world)
+        )
+        setattr(world, key, fwd)
     return fwd
 
 
@@ -811,20 +1089,18 @@ def stacked_dyn_gravity(world, extras, B):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a, dyn_g):
-    """One full physics step (all substeps) as a single Pallas kernel."""
-    return _get_partitioned_forward(world)(
+    """One full physics step (all substeps) as a single Pallas kernel,
+    native-layout in/out.  Fallback path for states without a
+    ``phys_pack`` mirror; returns ``(pos, vel, rot, ang_vel)``."""
+    return _get_partitioned_forward(world, packed=False)(
         pos, vel, rot, ang_vel, force_a, torque_a, dyn_g
     )
 
 
-def _fwd(world, pos, vel, rot, ang_vel, force_a, torque_a, dyn_g):
-    out = fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a,
-                     dyn_g)
-    return out, (pos, vel, rot, ang_vel, force_a, torque_a, dyn_g)
-
-
-def _bwd(world, residuals, g):
-    *args, dyn_g = residuals
+def _core_vjp(world, pos, vel, rot, ang_vel, force_a, torque_a, dyn_g,
+              g_native):
+    """VJP of one step through the jnp core (shared by both
+    interfaces)."""
     names = world._dyn_gravity_names
 
     def core(pos, vel, rot, ang_vel, force_a, torque_a, dyn):
@@ -835,8 +1111,74 @@ def _bwd(world, residuals, g):
             pos, vel, rot, ang_vel, force_a, torque_a, extras
         )
 
-    _, vjp = jax.vjp(core, *args, dyn_g)
-    return vjp(g)
+    _, vjp = jax.vjp(core, pos, vel, rot, ang_vel, force_a, torque_a,
+                     dyn_g)
+    return vjp(g_native)
+
+
+def _fwd(world, pos, vel, rot, ang_vel, force_a, torque_a, dyn_g):
+    out = fused_step(world, pos, vel, rot, ang_vel, force_a, torque_a,
+                     dyn_g)
+    return out, (pos, vel, rot, ang_vel, force_a, torque_a, dyn_g)
+
+
+def _bwd(world, residuals, g):
+    return _core_vjp(world, *residuals, g)
 
 
 fused_step.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_step_packed(world, ppos, pvel, prot, pangvel, force_a, torque_a,
+                      dyn_g):
+    """One full physics step on the packed ``phys_pack`` mirror.
+
+    State arrives/leaves in the packed kernel layout; native-layout
+    copies of the results ride along for observation/reward consumers.
+    Returns ``(pos, vel, rot, ang_vel, ppos', pvel', prot',
+    pangvel')``."""
+    return _get_partitioned_forward(world, packed=True)(
+        ppos, pvel, prot, pangvel, force_a, torque_a, dyn_g
+    )
+
+
+def _fwd_packed(world, ppos, pvel, prot, pangvel, force_a, torque_a,
+                dyn_g):
+    out = fused_step_packed(world, ppos, pvel, prot, pangvel, force_a,
+                            torque_a, dyn_g)
+    return out, (ppos, pvel, prot, pangvel, force_a, torque_a, dyn_g)
+
+
+def _bwd_packed(world, residuals, g):
+    ppos, pvel, prot, pangvel, force_a, torque_a, dyn_g = residuals
+    N = world._n_entities
+    R = ppos.shape[0] // (2 * N)
+    pos = unpack_rows(ppos, (N, 2), R)
+    vel = unpack_rows(pvel, (N, 2), R)
+    rot = unpack_rows(prot, (N, 1), R)
+    ang_vel = unpack_rows(pangvel, (N, 1), R)
+
+    # pack/unpack are value permutations (transpose of pack == unpack),
+    # so the packed-output cotangents fold into the native ones exactly.
+    g_pos, g_vel, g_rot, g_av, g_pp, g_pv, g_pr, g_pa = g
+    g_pos = g_pos + unpack_rows(g_pp, (N, 2), R)
+    g_vel = g_vel + unpack_rows(g_pv, (N, 2), R)
+    g_rot = g_rot + unpack_rows(g_pr, (N, 1), R)
+    g_av = g_av + unpack_rows(g_pa, (N, 1), R)
+
+    gi = _core_vjp(world, pos, vel, rot, ang_vel, force_a, torque_a,
+                   dyn_g, (g_pos, g_vel, g_rot, g_av))
+    gi_pos, gi_vel, gi_rot, gi_av, gi_force, gi_torque, gi_dyn = gi
+    return (
+        pack_rows(gi_pos, R),
+        pack_rows(gi_vel, R),
+        pack_rows(gi_rot, R),
+        pack_rows(gi_av, R),
+        gi_force,
+        gi_torque,
+        gi_dyn,
+    )
+
+
+fused_step_packed.defvjp(_fwd_packed, _bwd_packed)

@@ -39,22 +39,42 @@ def shard_state(state, mesh: Mesh, batch_dim: int, axis_name: str = ENV_AXIS):
     holds the full value after the eager init reset, so the global array
     is assembled from identical per-process copies)."""
     batch_sharding = NamedSharding(mesh, P(axis_name))
+    # The packed physics mirror (WorldState.phys_pack) is [F*R, B/R]
+    # with envs riding dim 1 in contiguous blocks (pack_rows), so its
+    # env shards live on dim 1.
+    packed_sharding = NamedSharding(mesh, P(None, axis_name))
     replicated = NamedSharding(mesh, P())
     process = jax.process_index()
     mesh_is_local = all(
         d.process_index == process for d in mesh.devices.flat
     )
 
-    def place(x):
-        sharding = (
-            batch_sharding
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_dim
-            else replicated
-        )
+    def place(x, sharding=None):
+        if sharding is None:
+            sharding = (
+                batch_sharding
+                if hasattr(x, "ndim")
+                and x.ndim >= 1
+                and x.shape[0] == batch_dim
+                else replicated
+            )
         if not mesh_is_local:
             x = np.asarray(x)
         return jax.device_put(x, sharding)
 
+    phys_pack = getattr(state, "phys_pack", None)
+    if phys_pack is not None:
+        n = int(mesh.devices.size)
+        if phys_pack[0].shape[1] % n != 0:
+            # The mirror's packing factor R doesn't divide the
+            # per-shard batch (needs (B/R) % n_devices == 0): drop it —
+            # the step falls back to the native-interface kernel with a
+            # per-shard R, identical semantics.
+            state = state.replace(phys_pack=None)
+            return jax.tree.map(place, state)
+        packed = tuple(place(x, packed_sharding) for x in phys_pack)
+        rest = jax.tree.map(place, state.replace(phys_pack=None))
+        return rest.replace(phys_pack=packed)
     return jax.tree.map(place, state)
 
 

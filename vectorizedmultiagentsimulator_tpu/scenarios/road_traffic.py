@@ -990,7 +990,7 @@ class Scenario(BaseScenario):
             road_geometry_pallas as rgp,
         )
 
-        if rgp.geometry_enabled():
+        if self.world._pallas_choice("road_geom", rgp.geometry_enabled):
             return rgp.fused_geometry(
                 self,
                 with_collisions,
@@ -1217,7 +1217,7 @@ class Scenario(BaseScenario):
             if (
                 self.is_partial_observation
                 and self.is_ego_view
-                and rgp.geometry_enabled()
+                and self.world._pallas_choice("road_geom", rgp.geometry_enabled)
             ):
                 # Fused top-k neighbor observations: selection fold,
                 # one-hot gathers and ego transforms in one VMEM-resident
