@@ -29,6 +29,16 @@ jax.config.update("jax_platforms", "cpu")
 if _CACHE_DIR:
     # sitecustomize may have imported jax before this file ran, in which
     # case the env var was read too late — set the config directly too.
+    # The thresholds honor explicit env values (setdefault above), so a
+    # READ-ONLY rerun — loads cached entries, never serializes new ones,
+    # sidestepping the mid-suite serialization segfault — is:
+    #   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1e9 pytest tests/
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+    )
+    jax.config.update(
+        "jax_persistent_cache_min_entry_size_bytes",
+        int(os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]),
+    )

@@ -97,3 +97,26 @@ def test_render_agent_indices_and_shooting_overlay():
     )
     assert len(geoms) == 2
     assert [g.text for g in geoms] == ["1", "2"]
+
+
+def test_env_plot_function_api():
+    """Public plot_function parity (reference environment.py:990-1014):
+    builds a heatmap geom over explicit or viewer-derived bounds."""
+    env = vmt.make_env("sampling", num_envs=2, seed=0)
+
+    def f(pts):  # [P, 2] -> [P]
+        return np.exp(-(pts**2).sum(-1))
+
+    geom = env.plot_function(
+        f, precision=0.1, plot_range=((-1, 1), (-1, 1)),
+        cmap_range=None, cmap_alpha=0.7, cmap_name="viridis",
+    )
+    assert geom is not None
+    # With plot_range=None the viewer bounds are required: first render
+    # to create them, then plot.
+    env.render(mode="rgb_array", env_index=0)
+    geom2 = env.plot_function(
+        f, precision=0.1, plot_range=None,
+        cmap_range=None, cmap_alpha=1.0, cmap_name="viridis",
+    )
+    assert geom2 is not None

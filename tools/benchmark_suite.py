@@ -41,14 +41,31 @@ QUICK = [
     ("transport", 1_000, {}),
 ]
 
+# The reference's exact headline artifact: 100 steps of simple_spread
+# (3 agents) at each env count from 1 to 30k
+# (mpe_comparison/mpe_performance_comparison.py:134 run_comparison; its
+# tikz data sweeps 1,5,10,50,...,30000).  At tiny env counts the remote
+# TPU's fixed dispatch latency dominates wall time — the scan harness
+# amortizes it over `--steps` device steps, same as the reference's
+# python loop amortizes CUDA launch overhead over its 100 steps.
+SWEEP = [
+    ("simple_spread", n, {})
+    for n in (1, 10, 100, 1_000, 3_000, 10_000, 30_000)
+]
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--sweep",
+        action="store_true",
+        help="reference-parity env-count sweep (simple_spread 1 -> 30k)",
+    )
     parser.add_argument("--steps", type=int, default=100)
     args = parser.parse_args()
 
-    suite = QUICK if args.quick else SUITE
+    suite = QUICK if args.quick else SWEEP if args.sweep else SUITE
     rows = []
     for scenario, num_envs, kwargs in suite:
         try:

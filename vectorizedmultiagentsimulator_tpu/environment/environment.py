@@ -759,6 +759,32 @@ class Environment:
             self.viewer.add_onetime_list(entity.render(env_index=env_index))
         return self.viewer.render(return_rgb_array=mode == "rgb_array")
 
+    def plot_function(
+        self, f, precision, plot_range, cmap_range, cmap_alpha, cmap_name
+    ):
+        """Build (and return) a heatmap geom of ``f`` over ``plot_range``
+        (reference environment.py:990-1014).  With ``plot_range=None``
+        the current viewer bounds are used; add the returned geom via
+        ``env.viewer.add_onetime(geom)`` or use the
+        ``plot_position_function`` kwargs of :meth:`render`, which do
+        this per frame."""
+        from vectorizedmultiagentsimulator_tpu.render import (
+            render_function_util,
+        )
+
+        if plot_range is None:
+            assert (
+                self.viewer is not None and self.viewer.bounds is not None
+            ), "Set viewer bounds before plotting"
+            x_min, x_max, y_min, y_max = self.viewer.bounds
+            plot_range = (
+                [x_min - precision, x_max - precision],
+                [y_min - precision, y_max + precision],
+            )
+        return render_function_util(
+            f, precision, plot_range, cmap_range, cmap_alpha, cmap_name
+        )
+
     def _init_text_lines(self):
         """One screen-space text line per speaking agent for comm-message
         overlays (reference environment.py:1023-1031)."""
