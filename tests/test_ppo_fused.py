@@ -1,0 +1,138 @@
+"""Fused Pallas PPO update kernel (ops/ppo_update_pallas.py): the
+hand-derived backward must match jax.grad of the jnp mirror, and the
+fused train step must reproduce the pure-XLA path's update."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vectorizedmultiagentsimulator_tpu.ops import ppo_update_pallas as pup
+
+
+def _make(key, od=6, aw=2, H=8, lb=16, nb_tot=8, nbm=4):
+    spec = pup.PPOUpdateSpec(
+        obs_d=od, act_w=aw, hidden=H, lb=lb, mb=nbm * lb,
+        clip_eps=0.2, vf_coef=0.5, ent_coef=0.01,
+    )
+    n = nb_tot * lb
+    ks = jax.random.split(key, 16)
+    packed = jax.random.normal(ks[0], (spec.d, n), jnp.float32)
+    # mask rows must be 0/1
+    rows = pup.pack_rows(spec)
+    a, b = rows["mask"]
+    mask = (jax.random.uniform(ks[1], (aw, n)) > 0.2).astype(jnp.float32)
+    packed = packed.at[a:b].set(mask)
+    perm = jax.random.permutation(ks[2], nb_tot)[:nbm].astype(jnp.int32)
+    # advantage stats over the selected blocks, as the caller computes
+    adv = packed[rows["adv"][0]].reshape(nb_tot, lb)[perm].ravel()
+    mean = adv.mean()
+    inv_std = 1.0 / (adv.std() + 1e-8)
+    stats = jnp.stack([mean, inv_std])
+
+    def w(k, shape):
+        return jax.random.normal(k, shape, jnp.float32) * 0.3
+
+    params = (
+        w(ks[3], (od, H)), w(ks[4], (H, 1)),
+        w(ks[5], (H, H)), w(ks[6], (H, 1)),
+        w(ks[7], (H, aw)), w(ks[8], (aw, 1)),
+        w(ks[9], (aw, 1)) * 0.1,  # log_std
+        w(ks[10], (od, H)), w(ks[11], (H, 1)),
+        w(ks[12], (H, 1)), w(ks[13], (1, 1)),
+    )
+    return spec, packed, perm, stats, params
+
+
+def test_kernel_grads_match_jax_grad(monkeypatch):
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    spec, packed, perm, stats, params = _make(jax.random.PRNGKey(0))
+    g_k, sums_k = pup.minibatch_update(spec, packed, perm, stats, params)
+    g_r, sums_r = pup.reference_minibatch(
+        spec, packed, perm, stats, params
+    )
+    for a, b in zip(sums_k, sums_r):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+    assert len(g_k) == len(g_r) == 11
+    for i, (a, b) in enumerate(zip(g_k, g_r)):
+        assert a.shape == b.shape, i
+        # identical math modulo accumulation order and the bf16 cast of
+        # cotangents in the hand-written dW dots (jax.grad keeps them
+        # f32), so tolerances are bf16-scaled
+        np.testing.assert_allclose(
+            a, b, rtol=2e-2, atol=2e-3, err_msg=f"grad {i}"
+        )
+
+
+def test_kernel_grads_larger_shapes(monkeypatch):
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    spec, packed, perm, stats, params = _make(
+        jax.random.PRNGKey(3), od=24, aw=3, H=64, lb=128, nb_tot=6,
+        nbm=3,
+    )
+    g_k, sums_k = pup.minibatch_update(spec, packed, perm, stats, params)
+    g_r, sums_r = pup.reference_minibatch(
+        spec, packed, perm, stats, params
+    )
+    for a, b in zip(sums_k, sums_r):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-4)
+    for i, (a, b) in enumerate(zip(g_k, g_r)):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-2, atol=2e-3, err_msg=f"grad {i}"
+        )
+
+
+def test_fused_train_step_matches_xla_path(monkeypatch):
+    """With a single minibatch and epoch the shuffle is irrelevant, so
+    the fused and pure-XLA paths must produce the same parameter update
+    (up to bf16/accumulation noise)."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
+        PPOConfig,
+        init_training,
+    )
+
+    cfgs = {}
+    for fused in (True, False):
+        cfg = PPOConfig(
+            rollout_steps=4, epochs=1, minibatches=1, hidden=16,
+            fused_update=fused, fused_block=32,
+        )
+        env, train_step, carry = init_training(
+            "dispersion", num_envs=16, seed=0, cfg=cfg
+        )
+        carry2, metrics = train_step(carry)
+        jax.block_until_ready(metrics["loss"])
+        cfgs[fused] = (carry2[2], metrics)
+
+    p_f, m_f = cfgs[True]
+    p_x, m_x = cfgs[False]
+    assert np.isfinite(float(m_f["loss"]))
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_x["loss"]), rtol=5e-3, atol=5e-4
+    )
+    flat_f = jax.tree_util.tree_leaves(p_f)
+    flat_x = jax.tree_util.tree_leaves(p_x)
+    for a, b in zip(flat_f, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        )
+
+
+def test_fused_training_runs_multiple_iters(monkeypatch):
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
+        PPOConfig,
+        init_training,
+    )
+
+    cfg = PPOConfig(
+        rollout_steps=4, epochs=2, minibatches=2, hidden=16,
+        fused_update=True, fused_block=16,
+    )
+    env, train_step, carry = init_training(
+        "dispersion", num_envs=16, seed=1, cfg=cfg
+    )
+    for _ in range(2):
+        carry, metrics = train_step(carry)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mean_reward"]))

@@ -53,28 +53,49 @@ class PPOConfig(NamedTuple):
     ent_coef: float = 0.01
     max_grad_norm: float = 0.5
     hidden: int = 64
+    # Computation dtype for the TRUNK Dense layers (params stay f32;
+    # the mean/value/log-prob heads always compute in f32).  bfloat16
+    # halves both the MXU time of the small-K trunk matmuls (the
+    # dominant cost of the update phase on TPU) and their activation
+    # HBM traffic; rollout and update use the same dtype, so the PPO
+    # ratio compares log-probs computed under identical precision.
+    trunk_dtype: str = "bfloat16"
+    # Fused Pallas minibatch update (ops/ppo_update_pallas.py): forward,
+    # loss, and hand-derived backward in one VMEM-resident kernel over a
+    # feature-major packed rollout, with the epoch shuffle folded into
+    # scalar-prefetch block indexing.  Auto-falls back to the pure-XLA
+    # path when unavailable (discrete actions, non-TPU backend without
+    # interpret mode, a mesh, f32 trunk, or indivisible shapes).
+    fused_update: bool = True
+    fused_block: int = 4096  # samples per kernel block & shuffle unit
 
 
 class ActorCritic(nn.Module if nn else object):
     """Shared-parameter actor-critic: obs -> (mean-or-logits, log_std,
     value).  In discrete mode the first head is read as categorical
-    logits and log_std is unused."""
+    logits and log_std is unused.
+
+    ``dtype`` is the trunk computation dtype (params are always f32,
+    flax's default ``param_dtype``); the output heads compute in f32 so
+    log-probs/values keep full precision."""
 
     action_dim: int
     hidden: int = 64
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, obs):
-        x = obs
+        x = obs.astype(self.dtype)
         for _ in range(2):
-            x = nn.tanh(nn.Dense(self.hidden)(x))
-        mean = nn.Dense(self.action_dim)(x)
+            x = nn.tanh(nn.Dense(self.hidden, dtype=self.dtype)(x))
+        mean = nn.Dense(self.action_dim, dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
         log_std = self.param(
             "log_std", nn.initializers.zeros, (self.action_dim,)
         )
-        v = nn.Dense(self.hidden)(obs)
-        v = nn.tanh(v)
-        value = nn.Dense(1)(v)[..., 0]
+        v = nn.tanh(nn.Dense(self.hidden, dtype=self.dtype)(obs.astype(self.dtype)))
+        value = nn.Dense(1, dtype=jnp.float32)(v.astype(jnp.float32))[..., 0]
         return mean, log_std, value
 
 
@@ -111,11 +132,15 @@ def make_obs_padder(env):
     return pad
 
 
-def make_train_step(env, cfg: PPOConfig, model, optimizer):
+def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
     """Build the fully-jitted training iteration.
 
     carry = (env_state, obs [A, B, D], params, opt_state, key)
     returns (carry, metrics)
+
+    ``mesh``: pass the data-parallel mesh (if any) so the fused Pallas
+    update path can disable itself — its gradient accumulation is
+    single-device; the pure-XLA path shards fine under GSPMD.
     """
     A = env.n_agents
     B = env.num_envs
@@ -247,6 +272,122 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         loss = pg + cfg.vf_coef * vf - cfg.ent_coef * ent_term
         return loss, {"pg_loss": pg, "vf_loss": vf, "entropy": ent_term}
 
+    # ------------------------------------------------------------------
+    # Fused Pallas minibatch update (ops/ppo_update_pallas.py).  Same
+    # training semantics as the loss_fn path (bf16 trunk, minibatch adv
+    # normalization, identical clip/min subgradients), one VMEM-resident
+    # kernel per minibatch instead of ~20 XLA ops round-tripping HBM.
+    # ------------------------------------------------------------------
+    fused = (
+        cfg.fused_update
+        and not discrete
+        and mesh is None
+        and cfg.trunk_dtype == "bfloat16"
+    )
+    if fused:
+        from vectorizedmultiagentsimulator_tpu.ops import (
+            ppo_update_pallas as pup,
+        )
+
+        fused = pup.available()
+
+    def _params_tuple(params):
+        p = params["params"]
+
+        def col(v):
+            return v[:, None]
+
+        return (
+            p["Dense_0"]["kernel"], col(p["Dense_0"]["bias"]),
+            p["Dense_1"]["kernel"], col(p["Dense_1"]["bias"]),
+            p["Dense_2"]["kernel"], col(p["Dense_2"]["bias"]),
+            col(p["log_std"]),
+            p["Dense_3"]["kernel"], col(p["Dense_3"]["bias"]),
+            p["Dense_4"]["kernel"], col(p["Dense_4"]["bias"]),
+        )
+
+    def _grads_pytree(params, g):
+        (dW1, db1, dW2, db2, dWm, dbm, dls, dWv, dbv, dWv2, dbv2) = g
+        flat = {
+            ("Dense_0", "kernel"): dW1, ("Dense_0", "bias"): db1[:, 0],
+            ("Dense_1", "kernel"): dW2, ("Dense_1", "bias"): db2[:, 0],
+            ("Dense_2", "kernel"): dWm, ("Dense_2", "bias"): dbm[:, 0],
+            ("Dense_3", "kernel"): dWv, ("Dense_3", "bias"): dbv[:, 0],
+            ("Dense_4", "kernel"): dWv2, ("Dense_4", "bias"): dbv2[:, 0],
+            ("log_std",): dls[:, 0],
+        }
+        # Rebuild with the params pytree's own structure (dict or
+        # FrozenDict) so optax tree ops line up.
+        leaves_with_paths = jax.tree_util.tree_flatten_with_path(params)
+        out = []
+        for path, _leaf in leaves_with_paths[0]:
+            keys = tuple(
+                k.key for k in path if hasattr(k, "key")
+            )[1:]  # drop the leading "params" collection key
+            out.append(flat[keys])
+        return jax.tree_util.tree_unflatten(leaves_with_paths[1], out)
+
+    def _fused_epochs(packed, traj, n, mb, lb, obs_d, act_w, carry,
+                      k_perm):
+        state, obs, params, opt_state, key = carry
+        spec = pup.PPOUpdateSpec(
+            obs_d=obs_d, act_w=act_w, hidden=cfg.hidden, lb=lb, mb=mb,
+            clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+        )
+        packed_fm = packed.T  # [D, n] feature-major
+        nb_tot = n // lb
+        nbm = mb // lb
+        # Per-block advantage sums: minibatch mean/std come from the
+        # selected blocks' sums (the kernel receives them as scalars).
+        adv_row = packed_fm[obs_d + act_w + 1].reshape(nb_tot, lb)
+        bs = adv_row.sum(axis=1)
+        bsq = (adv_row * adv_row).sum(axis=1)
+
+        def epoch(carry2, k):
+            params, opt_state = carry2
+            perm = jax.random.permutation(k, nb_tot).astype(jnp.int32)
+
+            def minibatch(carry3, i):
+                params, opt_state = carry3
+                pm = jax.lax.dynamic_slice_in_dim(perm, i * nbm, nbm)
+                s = jnp.take(bs, pm).sum()
+                sq = jnp.take(bsq, pm).sum()
+                mean = s / mb
+                var = jnp.maximum(sq / mb - mean * mean, 0.0)
+                inv_std = 1.0 / (jnp.sqrt(var) + 1e-8)
+                g, (pg, vf, ent) = pup.minibatch_update(
+                    spec, packed_fm, pm, jnp.stack([mean, inv_std]),
+                    _params_tuple(params),
+                )
+                grads = _grads_pytree(params, g)
+                loss = (
+                    -pg / mb
+                    + cfg.vf_coef * vf / mb
+                    - cfg.ent_coef * ent / mb
+                )
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                minibatch, (params, opt_state),
+                jnp.arange(cfg.minibatches),
+            )
+            return (params, opt_state), losses.mean()
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (params, opt_state),
+            jax.random.split(k_perm, cfg.epochs),
+        )
+        metrics = {
+            "loss": losses.mean(),
+            "mean_reward": traj["rew"].mean(),
+        }
+        return (state, obs, params, opt_state, key), metrics
+
     def train_step(carry):
         state, obs, params, opt_state, key = carry
         key, k_roll, k_perm = jax.random.split(key, 3)
@@ -297,6 +438,16 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer):
         ]
         packed = jnp.concatenate(parts, axis=-1)  # [n, D]
         D = packed.shape[-1]
+
+        if fused:
+            lb = cfg.fused_block
+            while lb > 8 and mb % lb:
+                lb //= 2
+            if mb % lb == 0:
+                return _fused_epochs(
+                    packed, traj, n, mb, lb, obs_d, act_w,
+                    (state, obs, params, opt_state, key), k_perm,
+                )
         G = 1
         while G < 64 and mb % (2 * G) == 0:
             G *= 2
@@ -392,7 +543,11 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
         )
         # categorical head over the widest agent's action count
         act_dim = max(env.get_agent_action_space(a).n for a in env.agents)
-    model = ActorCritic(action_dim=act_dim, hidden=cfg.hidden)
+    model = ActorCritic(
+        action_dim=act_dim,
+        hidden=cfg.hidden,
+        dtype=jnp.dtype(cfg.trunk_dtype),
+    )
     # one root key, folded into independent streams: the env's state key
     # chain already consumed PRNGKey(seed) via reset(seed=seed), so give
     # weight-init and the rollout distinct derived keys (use-once rule)
@@ -417,7 +572,7 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
         replicated = NamedSharding(mesh, P())
         params = jax.device_put(params, replicated)
         opt_state = jax.device_put(opt_state, replicated)
-    train_step = make_train_step(env, cfg, model, optimizer)
+    train_step = make_train_step(env, cfg, model, optimizer, mesh=mesh)
     carry = (env.state, obs, params, opt_state, jax.random.fold_in(root, 2))
     return env, train_step, carry
 
