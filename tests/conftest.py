@@ -42,3 +42,26 @@ if _CACHE_DIR:
         "jax_persistent_cache_min_entry_size_bytes",
         int(os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]),
     )
+
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop JAX's in-process executable caches after every test module.
+
+    Long single-process runs of the full suite accumulate hundreds of
+    live XLA:CPU executables; on some hosts the NEXT big compile then
+    segfaults inside backend_compile_and_load (seen twice 2026-08-20 at
+    test_scenario_parity's first large cold compile, ~250 tests /
+    ~4 GB RSS into the run — the same compile succeeds in a fresh
+    process).  Per-module cache clearing keeps the live-executable pool
+    small; with the persistent compile cache enabled the re-compiles
+    this causes are disk loads.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
