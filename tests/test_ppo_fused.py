@@ -81,6 +81,21 @@ def test_kernel_grads_larger_shapes(monkeypatch):
         )
 
 
+def test_kernel_grads_single_action_dim(monkeypatch):
+    """aw=1 edge (Forward/Rotation-dynamics agents): scalar action,
+    mask, and log_std rows."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    spec, packed, perm, stats, params = _make(
+        jax.random.PRNGKey(7), od=5, aw=1, H=16, lb=32, nb_tot=4, nbm=2
+    )
+    g_k, _ = pup.minibatch_update(spec, packed, perm, stats, params)
+    g_r, _ = pup.reference_minibatch(spec, packed, perm, stats, params)
+    for i, (a, b) in enumerate(zip(g_k, g_r)):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-2, atol=2e-3, err_msg=f"grad {i}"
+        )
+
+
 def test_fused_train_step_matches_xla_path(monkeypatch):
     """With a single minibatch and epoch the shuffle is irrelevant, so
     the fused and pure-XLA paths must produce the same parameter update
