@@ -95,6 +95,8 @@ class World:
         self._state: Optional[WorldState] = None
         self._allow_new_extras = True
         self._pallas_choices: Dict[str, bool] = {}
+        # Trace-time subkey pool (see begin_key_block).  None = inactive.
+        self._key_pool: Optional[List[Array]] = None
 
     def _pallas_choice(self, name: str, fn) -> bool:
         """Pin a Pallas on/off decision per world at first consultation.
@@ -477,7 +479,54 @@ class World:
         self._state = state
         return self
 
+    # How many subkeys each batched refill derives.  One threefry over
+    # [KEY_BLOCK+1, 2] words costs the same ~1us as a single scalar
+    # split on TPU, so any block size >= the per-step demand collapses
+    # the whole per-step key chain into one op; 16 covers every scenario
+    # in the library (max observed demand: football 5v5 resets, ~12).
+    KEY_BLOCK = 16
+
+    def begin_key_block(self):
+        """Switch ``next_key`` to batched derivation for the duration of
+        one traced step/reset.
+
+        The reference consumes torch global RNG imperatively; this
+        framework routes every draw through ``state.key``.  A sequential
+        ``split`` chain is semantically clean but each link is a scalar
+        [2]-word threefry that XLA cannot fuse or batch — profiling
+        showed ~15% of a PPO rollout iteration spent in these ~1us
+        scalar ops (6+ per masked auto-reset).  Inside a key block, one
+        ``jax.random.split(key, KEY_BLOCK+1)`` derives a pool of
+        subkeys in a single batched threefry and ``next_key`` hands them
+        out with static (trace-time) indices, refilling in blocks if
+        demand exceeds the pool.  Streams differ from the sequential
+        chain, but every draw is still a unique fold of the seed, so
+        same-seed determinism and independence are preserved.
+
+        The pool is trace-time Python state: it must be scoped strictly
+        to one trace (pool entries are tracers) — callers pair this with
+        ``end_key_block`` in a finally block.  ``Environment._freeze``'s
+        ``_functional`` wrapper does this for step/reset; eager callers
+        (``get_random_actions``) fall back to the sequential chain.
+        """
+        self._key_pool = []
+
+    def end_key_block(self):
+        self._key_pool = None
+
+    def _refill_key_pool(self):
+        keys = jax.random.split(self._state.key, self.KEY_BLOCK + 1)
+        self._state = self._state.replace(key=keys[0])
+        # Hand out in derivation order; list is reversed so pop() is O(1).
+        self._key_pool = [keys[i] for i in range(self.KEY_BLOCK, 0, -1)]
+
     def next_key(self) -> Array:
+        pool = self._key_pool
+        if pool is not None:
+            if not pool:
+                self._refill_key_pool()
+                pool = self._key_pool
+            return pool.pop()
         key, sub = jax.random.split(self._state.key)
         self._state = self._state.replace(key=key)
         return sub

@@ -150,12 +150,20 @@ class Environment:
 
             def wrapped(state: WorldState, *rest):
                 prev = self.world._state
+                prev_pool = self.world._key_pool
                 self.world.bind(state)
+                # Batch per-call subkey derivation for this trace (one
+                # threefry per KEY_BLOCK draws instead of a scalar-op
+                # chain); pool entries are tracers, so the pool must die
+                # with the trace — restore in the same finally that
+                # restores the state.
+                self.world.begin_key_block()
                 try:
                     outs = impl(*rest)
                     return self.world.state, outs
                 finally:
                     self.world._state = prev
+                    self.world._key_pool = prev_pool
 
             return wrapped
 
