@@ -96,6 +96,114 @@ def test_kernel_grads_single_action_dim(monkeypatch):
         )
 
 
+def _make_discrete(key, od=6, nl=5, H=8, lb=16, nb_tot=8, nbm=4):
+    spec = pup.PPOUpdateSpec(
+        obs_d=od, act_w=1, hidden=H, lb=lb, mb=nbm * lb,
+        clip_eps=0.2, vf_coef=0.5, ent_coef=0.01, n_logits=nl,
+    )
+    n = nb_tot * lb
+    ks = jax.random.split(key, 16)
+    packed = jax.random.normal(ks[0], (spec.d, n), jnp.float32)
+    rows = pup.pack_rows(spec)
+    # per-sample additive logits mask: first cnt choices valid
+    cnt = jax.random.randint(ks[1], (n,), 2, nl + 1)
+    mask = jnp.where(jnp.arange(nl)[:, None] < cnt[None, :], 0.0, -1e9)
+    a, b = rows["mask"]
+    packed = packed.at[a:b].set(mask)
+    # chosen action index, always a valid (unmasked) choice
+    act = jax.random.randint(ks[2], (n,), 0, nl) % cnt
+    a, b = rows["action"]
+    packed = packed.at[a:b].set(act.astype(jnp.float32)[None, :])
+    perm = jax.random.permutation(ks[3], nb_tot)[:nbm].astype(jnp.int32)
+    adv = packed[rows["adv"][0]].reshape(nb_tot, lb)[perm].ravel()
+    stats = jnp.stack([adv.mean(), 1.0 / (adv.std() + 1e-8)])
+
+    def w(k, shape):
+        return jax.random.normal(k, shape, jnp.float32) * 0.3
+
+    params = (
+        w(ks[4], (od, H)), w(ks[5], (H, 1)),
+        w(ks[6], (H, H)), w(ks[7], (H, 1)),
+        w(ks[8], (H, nl)), w(ks[9], (nl, 1)),
+        w(ks[10], (nl, 1)) * 0.1,  # log_std (unused by discrete head)
+        w(ks[11], (od, H)), w(ks[12], (H, 1)),
+        w(ks[13], (H, 1)), w(ks[14], (1, 1)),
+    )
+    return spec, packed, perm, stats, params
+
+
+def test_kernel_grads_discrete(monkeypatch):
+    """Categorical mode: kernel grads (incl. the entropy term through
+    the softmax) must match jax.grad of the jnp mirror."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    spec, packed, perm, stats, params = _make_discrete(
+        jax.random.PRNGKey(11)
+    )
+    g_k, sums_k = pup.minibatch_update(spec, packed, perm, stats, params)
+    g_r, sums_r = pup.reference_minibatch(
+        spec, packed, perm, stats, params
+    )
+    for a, b in zip(sums_k, sums_r):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+    # log_std gradient must be exactly zero in discrete mode
+    np.testing.assert_array_equal(np.asarray(g_k[6]), 0.0)
+    for i, (a, b) in enumerate(zip(g_k, g_r)):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-2, atol=2e-3, err_msg=f"grad {i}"
+        )
+
+
+def test_kernel_grads_discrete_larger(monkeypatch):
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    spec, packed, perm, stats, params = _make_discrete(
+        jax.random.PRNGKey(13), od=24, nl=9, H=64, lb=128, nb_tot=6,
+        nbm=3,
+    )
+    g_k, _ = pup.minibatch_update(spec, packed, perm, stats, params)
+    g_r, _ = pup.reference_minibatch(spec, packed, perm, stats, params)
+    for i, (a, b) in enumerate(zip(g_k, g_r)):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-2, atol=2e-3, err_msg=f"grad {i}"
+        )
+
+
+def test_fused_train_step_matches_xla_path_discrete(monkeypatch):
+    """Discrete-action env end-to-end: fused categorical update must
+    reproduce the pure-XLA path's parameter update."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
+        PPOConfig,
+        init_training,
+    )
+
+    results = {}
+    for fused in (True, False):
+        cfg = PPOConfig(
+            rollout_steps=4, epochs=1, minibatches=1, hidden=16,
+            fused_update=fused, fused_block=32,
+        )
+        env, train_step, carry = init_training(
+            "dispersion", num_envs=16, seed=0, cfg=cfg,
+            continuous_actions=False,
+        )
+        carry2, metrics = train_step(carry)
+        jax.block_until_ready(metrics["loss"])
+        results[fused] = (carry2[2], metrics)
+
+    p_f, m_f = results[True]
+    p_x, m_x = results[False]
+    assert np.isfinite(float(m_f["loss"]))
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_x["loss"]), rtol=5e-3, atol=5e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_x)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        )
+
+
 def test_fused_train_step_matches_xla_path(monkeypatch):
     """With a single minibatch and epoch the shuffle is irrelevant, so
     the fused and pure-XLA paths must produce the same parameter update

@@ -63,9 +63,10 @@ class PPOConfig(NamedTuple):
     # Fused Pallas minibatch update (ops/ppo_update_pallas.py): forward,
     # loss, and hand-derived backward in one VMEM-resident kernel over a
     # feature-major packed rollout, with the epoch shuffle folded into
-    # scalar-prefetch block indexing.  Auto-falls back to the pure-XLA
-    # path when unavailable (discrete actions, non-TPU backend without
-    # interpret mode, a mesh, f32 trunk, or indivisible shapes).
+    # scalar-prefetch block indexing.  Covers continuous (Gaussian) and
+    # discrete (categorical) modes.  Auto-falls back to the pure-XLA
+    # path when unavailable (non-TPU backend without interpret mode, a
+    # mesh, f32 trunk, or indivisible shapes).
     fused_update: bool = True
     fused_block: int = 4096  # samples per kernel block & shuffle unit
 
@@ -280,7 +281,6 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
     # ------------------------------------------------------------------
     fused = (
         cfg.fused_update
-        and not discrete
         and mesh is None
         and cfg.trunk_dtype == "bfloat16"
     )
@@ -334,6 +334,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
             obs_d=obs_d, act_w=act_w, hidden=cfg.hidden, lb=lb, mb=mb,
             clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
             ent_coef=cfg.ent_coef,
+            n_logits=act_max if discrete else 0,
         )
         packed_fm = packed.T  # [D, n] feature-major
         nb_tot = n // lb

@@ -59,7 +59,15 @@ _ENT_C = float(0.5 * np.log(2.0 * np.pi) + 0.5)  # per-dim Gaussian ent.
 
 
 class PPOUpdateSpec(NamedTuple):
-    """Static shape/hyper config of the fused update."""
+    """Static shape/hyper config of the fused update.
+
+    ``n_logits == 0`` is the continuous (Gaussian) mode: ``act_w``-wide
+    actions, multiplicative per-dim action mask.  ``n_logits > 0`` is the
+    discrete (categorical) mode: ``act_w == 1`` (the action row stores
+    the chosen index as f32) and the mask rows hold the ADDITIVE
+    ``n_logits``-wide logits mask (0 on an agent's real choices, -1e9 on
+    padding) mirroring examples/jax_ppo.py's discrete head.
+    """
 
     obs_d: int  # observation row count (incl. one-hot agent id)
     act_w: int  # action width (padded to the widest agent)
@@ -69,10 +77,19 @@ class PPOUpdateSpec(NamedTuple):
     clip_eps: float
     vf_coef: float
     ent_coef: float
+    n_logits: int = 0  # categorical head width; 0 = continuous mode
+
+    @property
+    def discrete(self) -> bool:
+        return self.n_logits > 0
+
+    @property
+    def mask_w(self) -> int:
+        return self.n_logits if self.discrete else self.act_w
 
     @property
     def d(self) -> int:  # packed row count
-        return self.obs_d + 2 * self.act_w + 3
+        return self.obs_d + self.act_w + 3 + self.mask_w
 
 
 def pack_rows(spec: PPOUpdateSpec):
@@ -84,7 +101,7 @@ def pack_rows(spec: PPOUpdateSpec):
         "logp": (od + aw, od + aw + 1),
         "adv": (od + aw + 1, od + aw + 2),
         "ret": (od + aw + 2, od + aw + 3),
-        "mask": (od + aw + 3, od + 2 * aw + 3),
+        "mask": (od + aw + 3, od + aw + 3 + spec.mask_w),
     }
 
 
@@ -123,18 +140,39 @@ def _fwd_math(spec, params, obs, act, logp_old, adv_n, ret, mask):
     hv = jnp.tanh(zv)
     value = dot(Wv2, hv, c_in) + bv2  # [1, LB]
 
-    var = jnp.exp(2.0 * ls)  # [aw, 1]
-    diff = act - mean
-    contrib = -0.5 * diff * diff / var - ls - 0.5 * _LOG_2PI
-    logp = jnp.sum(mask * contrib, axis=0, keepdims=True)  # [1, LB]
+    if spec.discrete:
+        # ``mean`` is the [n_logits, LB] categorical head; ``mask`` the
+        # additive logits mask; ``act`` the [1, LB] chosen index (f32).
+        logits = mean + mask
+        mx = jnp.max(logits, axis=0, keepdims=True)
+        ex = jnp.exp(logits - mx)
+        z = jnp.sum(ex, axis=0, keepdims=True)
+        probs = ex / z
+        logp_all = logits - (jnp.log(z) + mx)  # log_softmax
+        idx = jax.lax.broadcasted_iota(
+            jnp.int32, logits.shape, 0
+        )
+        onehot = (idx == act.astype(jnp.int32)).astype(f32)
+        logp = jnp.sum(onehot * logp_all, axis=0, keepdims=True)
+        # Padded choices: probs == 0 exactly (exp underflows at -1e9),
+        # so 0 * finite logp_all contributes nothing to the entropy.
+        ent_i = -jnp.sum(probs * logp_all, axis=0, keepdims=True)
+        var = diff = None
+        extra = (probs, logp_all, onehot, ent_i)
+    else:
+        var = jnp.exp(2.0 * ls)  # [aw, 1]
+        diff = act - mean
+        contrib = -0.5 * diff * diff / var - ls - 0.5 * _LOG_2PI
+        logp = jnp.sum(mask * contrib, axis=0, keepdims=True)  # [1, LB]
+        ent_i = jnp.sum(mask * (ls + _ENT_C), axis=0, keepdims=True)
+        extra = None
     ratio = jnp.exp(logp - logp_old)
     rclip = jnp.clip(ratio, 1.0 - spec.clip_eps, 1.0 + spec.clip_eps)
     t1 = ratio * adv_n
     t2 = rclip * adv_n
     pg_i = jnp.minimum(t1, t2)  # pg loss = -mean(pg_i)
     vf_i = 0.5 * (value - ret) ** 2
-    ent_i = jnp.sum(mask * (ls + _ENT_C), axis=0, keepdims=True)
-    return (h1, h2, hv, mean, value, var, diff, ratio, t1, t2,
+    return (h1, h2, hv, mean, value, var, diff, ratio, t1, t2, extra,
             pg_i, vf_i, ent_i)
 
 
@@ -144,7 +182,7 @@ def _bwd_math(spec, params, obs, adv_n, ret, mask, fwd):
     of the same forward (minimum/clip subgradients via ``<=`` / interval
     membership)."""
     (W1, b1, W2, b2, Wm, bm, ls, Wv, bv, Wv2, bv2) = params
-    (h1, h2, hv, mean, value, var, diff, ratio, t1, t2,
+    (h1, h2, hv, mean, value, var, diff, ratio, t1, t2, extra,
      pg_i, vf_i, ent_i) = fwd
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -162,12 +200,23 @@ def _bwd_math(spec, params, obs, adv_n, ret, mask, fwd):
     dratio = -inv_mb * adv_n * (sel + (1.0 - sel) * inside)
     dlogp = dratio * ratio  # [1, LB]
 
-    dmean = dlogp * mask * diff / var  # [aw, LB]
-    dls = (
-        jnp.sum(dlogp * mask * (diff * diff / var - 1.0), axis=1,
-                keepdims=True)
-        - spec.ent_coef * inv_mb * jnp.sum(mask, axis=1, keepdims=True)
-    )  # [aw, 1]
+    if spec.discrete:
+        probs, logp_all, onehot, _ = extra
+        # pg: d logp_sel / d logits = onehot - softmax.  entropy term
+        # (loss has -ent_coef*mean(H)): dH/dlogits = -p*(logp_all + H),
+        # so the loss contributes +ent_coef/mb * p*(logp_all + H).
+        dmean = dlogp * (onehot - probs) + (
+            spec.ent_coef * inv_mb
+        ) * probs * (logp_all + ent_i)  # [n_logits, LB]
+        dls = jnp.zeros_like(ls)  # log_std unused by the discrete head
+    else:
+        dmean = dlogp * mask * diff / var  # [aw, LB]
+        dls = (
+            jnp.sum(dlogp * mask * (diff * diff / var - 1.0), axis=1,
+                    keepdims=True)
+            - spec.ent_coef * inv_mb
+            * jnp.sum(mask, axis=1, keepdims=True)
+        )  # [aw, 1]
     dvalue = spec.vf_coef * inv_mb * (value - ret)  # [1, LB]
 
     # mean head (f32)
