@@ -241,6 +241,80 @@ def test_fused_train_step_matches_xla_path(monkeypatch):
         )
 
 
+def test_fused_sharded_matches_single_device(monkeypatch):
+    """Data-parallel fused path (shard_map + psum) vs the single-device
+    fused path on identical rollouts.  With one epoch and one minibatch
+    the shuffle (the only sharding-dependent choice) is irrelevant, so
+    the psum-of-shard-grads update must equal the single-device update
+    up to float reassociation."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
+        PPOConfig,
+        init_training,
+    )
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs 4 devices")
+    results = {}
+    for mesh in (None, Mesh(onp.asarray(devices[:4]), ("envs",))):
+        cfg = PPOConfig(
+            rollout_steps=4, epochs=1, minibatches=1, hidden=16,
+            fused_update=True, fused_block=8,
+        )
+        env, train_step, carry = init_training(
+            "dispersion", num_envs=16, seed=0, cfg=cfg, mesh=mesh
+        )
+        carry2, metrics = train_step(carry)
+        jax.block_until_ready(metrics["loss"])
+        results[mesh is None] = (carry2[2], metrics)
+
+    p_s, m_s = results[True]
+    p_m, m_m = results[False]
+    assert np.isfinite(float(m_m["loss"]))
+    np.testing.assert_allclose(
+        float(m_m["loss"]), float(m_s["loss"]), rtol=5e-3, atol=5e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_s)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        )
+
+
+def test_fused_sharded_multiple_iters_discrete(monkeypatch):
+    """Sharded fused path runs multiple iterations (shuffles engaged)
+    in discrete mode and stays finite."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    import numpy as onp
+    from jax.sharding import Mesh
+
+    from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
+        PPOConfig,
+        init_training,
+    )
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(onp.asarray(devices[:4]), ("envs",))
+    cfg = PPOConfig(
+        rollout_steps=4, epochs=2, minibatches=2, hidden=16,
+        fused_update=True, fused_block=8,
+    )
+    env, train_step, carry = init_training(
+        "dispersion", num_envs=16, seed=1, cfg=cfg, mesh=mesh,
+        continuous_actions=False,
+    )
+    for _ in range(2):
+        carry, metrics = train_step(carry)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_fused_training_runs_multiple_iters(monkeypatch):
     monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
     from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (

@@ -279,11 +279,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
     # normalization, identical clip/min subgradients), one VMEM-resident
     # kernel per minibatch instead of ~20 XLA ops round-tripping HBM.
     # ------------------------------------------------------------------
-    fused = (
-        cfg.fused_update
-        and mesh is None
-        and cfg.trunk_dtype == "bfloat16"
-    )
+    fused = cfg.fused_update and cfg.trunk_dtype == "bfloat16"
     if fused:
         from vectorizedmultiagentsimulator_tpu.ops import (
             ppo_update_pallas as pup,
@@ -389,6 +385,107 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
         }
         return (state, obs, params, opt_state, key), metrics
 
+    def _fused_epochs_sharded(packed4, traj, mb_loc, lb, obs_d, act_w,
+                              carry, k_perm):
+        """Data-parallel fused update: ``shard_map`` over the mesh's
+        ``envs`` axis.  Each shard packs its LOCAL [T, A, B_loc, D]
+        rollout feature-major (no resharding: the env axis stays where
+        the rollout left it), shuffles and minibatches its own blocks,
+        and runs the Pallas kernel on local samples; advantage stats,
+        gradients, and loss sums are ``psum``-ed so every shard applies
+        the identical global-mean optimizer update.  Deviation from the
+        single-device path: the epoch shuffle permutes within shards
+        (shard-local blocks never migrate), statistically equivalent for
+        independent envs.  The kernel normalizes per-sample grads by the
+        GLOBAL minibatch size via ``spec.norm_n``, making the psum of
+        shard grads exactly the global-mean gradient."""
+        from jax.sharding import PartitionSpec as P
+
+        state, obs, params, opt_state, key = carry
+        n_sh = mesh.shape["envs"]
+        mb_g = mb_loc * n_sh
+        spec = pup.PPOUpdateSpec(
+            obs_d=obs_d, act_w=act_w, hidden=cfg.hidden, lb=lb,
+            mb=mb_loc, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+            ent_coef=cfg.ent_coef,
+            n_logits=act_max if discrete else 0, norm_n=mb_g,
+        )
+        nbm = mb_loc // lb
+
+        def run(packed4_loc, params, opt_state, k_perm):
+            Tl, Al, Bl, Dl = packed4_loc.shape
+            n_l = Tl * Al * Bl
+            packed_fm = packed4_loc.reshape(n_l, Dl).T  # [D, n_loc]
+            nb_tot = n_l // lb
+            shard = jax.lax.axis_index("envs")
+            adv_row = packed_fm[obs_d + act_w + 1].reshape(nb_tot, lb)
+            bs = adv_row.sum(axis=1)
+            bsq = (adv_row * adv_row).sum(axis=1)
+
+            def epoch(carry2, k):
+                params, opt_state = carry2
+                perm = jax.random.permutation(
+                    jax.random.fold_in(k, shard), nb_tot
+                ).astype(jnp.int32)
+
+                def minibatch(carry3, i):
+                    params, opt_state = carry3
+                    pm = jax.lax.dynamic_slice_in_dim(
+                        perm, i * nbm, nbm
+                    )
+                    s = jax.lax.psum(jnp.take(bs, pm).sum(), "envs")
+                    sq = jax.lax.psum(jnp.take(bsq, pm).sum(), "envs")
+                    mean = s / mb_g
+                    var = jnp.maximum(sq / mb_g - mean * mean, 0.0)
+                    inv_std = 1.0 / (jnp.sqrt(var) + 1e-8)
+                    g, sums = pup.minibatch_update(
+                        spec, packed_fm, pm,
+                        jnp.stack([mean, inv_std]),
+                        _params_tuple(params),
+                    )
+                    g = jax.lax.psum(g, "envs")
+                    pg, vf, ent = jax.lax.psum(sums, "envs")
+                    grads = _grads_pytree(params, g)
+                    loss = (
+                        -pg / mb_g
+                        + cfg.vf_coef * vf / mb_g
+                        - cfg.ent_coef * ent / mb_g
+                    )
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    minibatch, (params, opt_state),
+                    jnp.arange(cfg.minibatches),
+                )
+                return (params, opt_state), losses.mean()
+
+            (params, opt_state), losses = jax.lax.scan(
+                epoch, (params, opt_state),
+                jax.random.split(k_perm, cfg.epochs),
+            )
+            return params, opt_state, losses.mean()
+
+        # check_vma=False: pallas_call's out_shape structs carry no vma
+        # annotation, which the varying-axis checker rejects; output
+        # replication is instead guaranteed by the psums (and pinned by
+        # the fused-vs-single-device equality test).
+        params, opt_state, loss = jax.shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(P(None, None, "envs", None), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(packed4, params, opt_state, k_perm)
+        metrics = {
+            "loss": loss,
+            "mean_reward": traj["rew"].mean(),
+        }
+        return (state, obs, params, opt_state, key), metrics
+
     def train_step(carry):
         state, obs, params, opt_state, key = carry
         key, k_roll, k_perm = jax.random.split(key, 3)
@@ -423,24 +520,45 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
         # VMAS batch sizes; G=1 (tiny configs) degenerates to exact.
         obs_d = traj["obs"].shape[-1]
         act_w = 1 if discrete else act_max
-        parts = [
-            flat(traj["obs"]),
-            flat(traj["action"]).astype(jnp.float32).reshape(n, act_w),
-            flat(traj["logp"])[:, None],
-            flat(adv)[:, None],
-            flat(ret)[:, None],
-            # flat() lays samples out as (T, A, B): sample i belongs to
-            # agent (i // B) % A
-            flat(
-                jnp.broadcast_to(
-                    act_mask[None, :, None, :], (T, A, B, act_max)
-                )
+        # Built 4-D first ([T, A, B, D], env axis explicit) so the
+        # data-parallel fused path can shard_map over envs and pack
+        # locally; the single-device paths flatten to [n, D] (same
+        # layout: D is the trailing axis either way).  Samples lay out
+        # as (t, agent, env) with env fastest: sample i belongs to
+        # agent (i // B) % A.
+        parts4 = [
+            traj["obs"],
+            traj["action"].astype(jnp.float32).reshape(T, A, B, act_w),
+            traj["logp"][..., None],
+            adv[..., None],
+            ret[..., None],
+            jnp.broadcast_to(
+                act_mask[None, :, None, :], (T, A, B, act_max)
             ),
         ]
-        packed = jnp.concatenate(parts, axis=-1)  # [n, D]
-        D = packed.shape[-1]
+        packed4 = jnp.concatenate(parts4, axis=-1)  # [T, A, B, D]
+        D = packed4.shape[-1]
 
-        if fused:
+        if fused and mesh is not None:
+            n_sh = mesh.shape["envs"]
+            B_loc = B // n_sh
+            n_loc = T * A * B_loc
+            mb_loc = n_loc // cfg.minibatches
+            lb = cfg.fused_block
+            while lb > 8 and (mb_loc % lb):
+                lb //= 2
+            if (
+                B % n_sh == 0
+                and n_loc % cfg.minibatches == 0
+                and mb_loc % lb == 0
+            ):
+                return _fused_epochs_sharded(
+                    packed4, traj, mb_loc, lb, obs_d, act_w,
+                    (state, obs, params, opt_state, key), k_perm,
+                )
+
+        packed = packed4.reshape(n, D)
+        if fused and mesh is None:
             lb = cfg.fused_block
             while lb > 8 and mb % lb:
                 lb //= 2

@@ -73,11 +73,21 @@ class PPOUpdateSpec(NamedTuple):
     act_w: int  # action width (padded to the widest agent)
     hidden: int
     lb: int  # lanes (samples) per grid block == shuffle granularity
-    mb: int  # samples per minibatch
+    mb: int  # samples per minibatch (LOCAL, on this device/shard)
     clip_eps: float
     vf_coef: float
     ent_coef: float
     n_logits: int = 0  # categorical head width; 0 = continuous mode
+    # Mean-normalization count.  0 -> mb (single device).  Under data
+    # parallelism each shard's kernel sees its local mb samples but the
+    # loss is the mean over the GLOBAL minibatch: set norm_n to the
+    # global size so per-sample gradients carry 1/norm_n and a psum of
+    # shard gradients is exactly the global-mean gradient.
+    norm_n: int = 0
+
+    @property
+    def norm(self) -> int:
+        return self.norm_n if self.norm_n else self.mb
 
     @property
     def discrete(self) -> bool:
@@ -190,7 +200,7 @@ def _bwd_math(spec, params, obs, adv_n, ret, mask, fwd):
         jax.lax.dot_general, preferred_element_type=f32
     )
     c_lanes = (((1,), (1,)), ((), ()))  # contract the lane (sample) dim
-    inv_mb = 1.0 / spec.mb
+    inv_mb = 1.0 / spec.norm
 
     # d loss / d logp  (through pg only)
     sel = (t1 <= t2).astype(f32)
@@ -357,9 +367,9 @@ def reference_minibatch(spec, packed_fm, perm_mb, adv_stats, params):
         )
         pg_i, vf_i, ent_i = fwd[-3], fwd[-2], fwd[-1]
         loss = (
-            -jnp.sum(pg_i) / spec.mb
-            + spec.vf_coef * jnp.sum(vf_i) / spec.mb
-            - spec.ent_coef * jnp.sum(ent_i) / spec.mb
+            -jnp.sum(pg_i) / spec.norm
+            + spec.vf_coef * jnp.sum(vf_i) / spec.norm
+            - spec.ent_coef * jnp.sum(ent_i) / spec.norm
         )
         return loss, (jnp.sum(pg_i), jnp.sum(vf_i), jnp.sum(ent_i))
 
