@@ -241,6 +241,103 @@ def test_fused_train_step_matches_xla_path(monkeypatch):
         )
 
 
+def _make_multidiscrete(key, od=6, Kd=3, nl=4, H=8, lb=16, nb_tot=8,
+                        nbm=4):
+    """Factored categorical: Kd dims of up to nl choices each."""
+    spec = pup.PPOUpdateSpec(
+        obs_d=od, act_w=Kd, hidden=H, lb=lb, mb=nbm * lb,
+        clip_eps=0.2, vf_coef=0.5, ent_coef=0.01, n_logits=nl,
+    )
+    n = nb_tot * lb
+    ks = jax.random.split(key, 16)
+    packed = jax.random.normal(ks[0], (spec.d, n), jnp.float32)
+    rows = pup.pack_rows(spec)
+    # per-dim per-sample valid-choice counts (incl. fully-padded dims
+    # with a single valid choice)
+    cnt = jax.random.randint(ks[1], (Kd, n), 1, nl + 1)
+    mask = jnp.where(
+        jnp.arange(nl)[None, :, None] < cnt[:, None, :], 0.0, -1e9
+    ).reshape(Kd * nl, n)
+    a, b = rows["mask"]
+    packed = packed.at[a:b].set(mask)
+    act = jax.random.randint(ks[2], (Kd, n), 0, nl) % cnt
+    a, b = rows["action"]
+    packed = packed.at[a:b].set(act.astype(jnp.float32))
+    perm = jax.random.permutation(ks[3], nb_tot)[:nbm].astype(jnp.int32)
+    adv = packed[rows["adv"][0]].reshape(nb_tot, lb)[perm].ravel()
+    stats = jnp.stack([adv.mean(), 1.0 / (adv.std() + 1e-8)])
+
+    def w(k, shape):
+        return jax.random.normal(k, shape, jnp.float32) * 0.3
+
+    hw = Kd * nl  # head width
+    params = (
+        w(ks[4], (od, H)), w(ks[5], (H, 1)),
+        w(ks[6], (H, H)), w(ks[7], (H, 1)),
+        w(ks[8], (H, hw)), w(ks[9], (hw, 1)),
+        w(ks[10], (hw, 1)) * 0.1,  # log_std (unused)
+        w(ks[11], (od, H)), w(ks[12], (H, 1)),
+        w(ks[13], (H, 1)), w(ks[14], (1, 1)),
+    )
+    return spec, packed, perm, stats, params
+
+
+def test_kernel_grads_multidiscrete(monkeypatch):
+    """Factored-categorical mode: per-dim softmax/entropy backward
+    (note dH/dlogits_k uses the PER-DIM entropy) must match jax.grad."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    spec, packed, perm, stats, params = _make_multidiscrete(
+        jax.random.PRNGKey(17)
+    )
+    g_k, sums_k = pup.minibatch_update(spec, packed, perm, stats, params)
+    g_r, sums_r = pup.reference_minibatch(
+        spec, packed, perm, stats, params
+    )
+    for a, b in zip(sums_k, sums_r):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-5)
+    for i, (a, b) in enumerate(zip(g_k, g_r)):
+        np.testing.assert_allclose(
+            a, b, rtol=2e-2, atol=2e-3, err_msg=f"grad {i}"
+        )
+
+
+def test_fused_train_step_matches_xla_path_multidiscrete(monkeypatch):
+    """MultiDiscrete-action env end-to-end: fused factored-categorical
+    update must reproduce the pure-XLA path's parameter update."""
+    monkeypatch.setenv("VMT_PALLAS_INTERPRET", "1")
+    from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
+        PPOConfig,
+        init_training,
+    )
+
+    results = {}
+    for fused in (True, False):
+        cfg = PPOConfig(
+            rollout_steps=4, epochs=1, minibatches=1, hidden=16,
+            fused_update=fused, fused_block=32,
+        )
+        env, train_step, carry = init_training(
+            "dispersion", num_envs=16, seed=0, cfg=cfg,
+            continuous_actions=False, multidiscrete_actions=True,
+        )
+        carry2, metrics = train_step(carry)
+        jax.block_until_ready(metrics["loss"])
+        results[fused] = (carry2[2], metrics)
+
+    p_f, m_f = results[True]
+    p_x, m_x = results[False]
+    assert np.isfinite(float(m_f["loss"]))
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_x["loss"]), rtol=5e-3, atol=5e-4
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_x)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-3
+        )
+
+
 def test_fused_sharded_matches_single_device(monkeypatch):
     """Data-parallel fused path (shard_map + psum) vs the single-device
     fused path on identical rollouts.  With one epoch and one minibatch

@@ -15,9 +15,10 @@ sample.  Heterogeneous scenarios (per-agent observation/action sizes,
 e.g. the MPE adversary games) are handled by zero-padding observations to
 the widest agent and appending a one-hot agent ID, with a per-agent
 action-dimension mask so padded action dims carry no log-prob/entropy —
-everything stays one stacked [A, B, ...] computation.  Both action modes
-work: Gaussian for ``continuous_actions=True`` (the default), a masked
-categorical head for ``continuous_actions=False``.
+everything stays one stacked [A, B, ...] computation.  All three action
+modes work: Gaussian for ``continuous_actions=True`` (the default), a
+masked categorical head for flat ``continuous_actions=False``, and a
+factored (per-dim) categorical head for ``multidiscrete_actions=True``.
 
 Run:  python -m vectorizedmultiagentsimulator_tpu.examples.jax_ppo \
           [scenario] [num_envs] [iterations]
@@ -139,9 +140,10 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
     carry = (env_state, obs [A, B, D], params, opt_state, key)
     returns (carry, metrics)
 
-    ``mesh``: pass the data-parallel mesh (if any) so the fused Pallas
-    update path can disable itself — its gradient accumulation is
-    single-device; the pure-XLA path shards fine under GSPMD.
+    ``mesh``: pass the data-parallel mesh (if any).  The fused Pallas
+    update then runs shard-local inside ``shard_map`` with psum-ed
+    gradients/statistics (see ``_fused_epochs_sharded``); the pure-XLA
+    path shards via GSPMD.
     """
     A = env.n_agents
     B = env.num_envs
@@ -151,13 +153,35 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
     ]
     discrete = not env.continuous_actions
     if discrete:
-        # one categorical head over the widest agent's action count;
-        # additive -inf mask hides choices an agent doesn't have
-        ns = [env.get_agent_action_space(a).n for a in env.agents]
-        act_max = max(ns)
-        act_mask = jnp.asarray(
-            [[0.0] * n + [-1e9] * (act_max - n) for n in ns], jnp.float32
-        )
+        # factored-categorical head: K independent distributions of up
+        # to n_cats choices (flat Discrete is K=1; MultiDiscrete one
+        # dim per nvec entry).  Additive -inf mask hides choices an
+        # agent doesn't have; a dim an agent lacks keeps only choice 0
+        # valid, so it samples 0 and contributes 0 to logp/entropy.
+        if env.multidiscrete_actions:
+            nvecs = [
+                [int(x) for x in env.get_agent_action_space(a).nvec]
+                for a in env.agents
+            ]
+        else:
+            nvecs = [
+                [env.get_agent_action_space(a).n] for a in env.agents
+            ]
+        K = max(len(v) for v in nvecs)
+        n_cats = max(max(v) for v in nvecs)
+        act_max = K * n_cats  # categorical head width
+        act_mask3 = jnp.asarray(
+            [
+                [
+                    [0.0] * (v[j] if j < len(v) else 1)
+                    + [-1e9] * (n_cats - (v[j] if j < len(v) else 1))
+                    for j in range(K)
+                ]
+                for v in nvecs
+            ],
+            jnp.float32,
+        )  # [A, K, n_cats]
+        act_mask = act_mask3.reshape(len(nvecs), act_max)
     else:
         # full per-agent action width: physical dims + communication dims
         act_dims = [env.get_agent_action_size(a) for a in env.agents]
@@ -178,12 +202,16 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
         key, k_act = jax.random.split(key)
         mean, log_std, value = model.apply(params, obs)  # [A, B, ...]
         if discrete:
-            logits = mean + act_mask[:, None]
-            action = jax.random.categorical(k_act, logits)  # [A, B] int
+            logits = (
+                mean.reshape(A, B, K, n_cats) + act_mask3[:, None]
+            )
+            action = jax.random.categorical(k_act, logits)  # [A, B, K]
             logp = jnp.take_along_axis(
                 jax.nn.log_softmax(logits), action[..., None], axis=-1
-            )[..., 0]
-            env_action = tuple(action[i][:, None] for i in range(A))
+            )[..., 0].sum(-1)  # [A, B]
+            env_action = tuple(
+                action[i][:, : len(nvecs[i])] for i in range(A)
+            )
         else:
             noise = jax.random.normal(k_act, mean.shape)
             action = mean + jnp.exp(log_std) * noise
@@ -246,11 +274,16 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
     def loss_fn(params, batch):
         mean, log_std, value = model.apply(params, batch["obs"])
         if discrete:
-            logits = jax.nn.log_softmax(mean + batch["mask"])
+            lg = jax.nn.log_softmax(
+                mean.reshape(-1, K, n_cats)
+                + batch["mask"].reshape(-1, K, n_cats)
+            )
             logp = jnp.take_along_axis(
-                logits, batch["action"][:, None], axis=-1
-            )[:, 0]
-            ent_term = -jnp.sum(jnp.exp(logits) * logits, axis=-1).mean()
+                lg, batch["action"][..., None], axis=-1
+            )[..., 0].sum(-1)
+            ent_term = (
+                -jnp.sum(jnp.exp(lg) * lg, axis=-1).sum(-1).mean()
+            )
         else:
             logp = _gaussian_logp(
                 mean, log_std, batch["action"], batch["mask"]
@@ -330,7 +363,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
             obs_d=obs_d, act_w=act_w, hidden=cfg.hidden, lb=lb, mb=mb,
             clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
             ent_coef=cfg.ent_coef,
-            n_logits=act_max if discrete else 0,
+            n_logits=n_cats if discrete else 0,
         )
         packed_fm = packed.T  # [D, n] feature-major
         nb_tot = n // lb
@@ -408,7 +441,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
             obs_d=obs_d, act_w=act_w, hidden=cfg.hidden, lb=lb,
             mb=mb_loc, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
             ent_coef=cfg.ent_coef,
-            n_logits=act_max if discrete else 0, norm_n=mb_g,
+            n_logits=n_cats if discrete else 0, norm_n=mb_g,
         )
         nbm = mb_loc // lb
 
@@ -519,7 +552,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
         # statistically indistinguishable from per-sample permutation at
         # VMAS batch sizes; G=1 (tiny configs) degenerates to exact.
         obs_d = traj["obs"].shape[-1]
-        act_w = 1 if discrete else act_max
+        act_w = K if discrete else act_max
         # Built 4-D first ([T, A, B, D], env axis explicit) so the
         # data-parallel fused path can shard_map over envs and pack
         # locally; the single-device paths flatten to [n, D] (same
@@ -580,9 +613,7 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
             batch = {
                 "obs": x[:, :obs_d],
                 "action": (
-                    action[:, 0].astype(jnp.int32)
-                    if discrete
-                    else action
+                    action.astype(jnp.int32) if discrete else action
                 ),
                 "logp": x[:, o],
                 "adv": x[:, o + 1],
@@ -654,13 +685,17 @@ def init_training(scenario="dispersion", num_envs=512, seed=0,
     obs = make_obs_padder(env)(obs0)  # [A, B, Dmax + A]
     if env.continuous_actions:
         act_dim = max(env.get_agent_action_size(a) for a in env.agents)
-    else:
-        assert not env.multidiscrete_actions, (
-            "the PPO example supports continuous or flat Discrete"
-            " actions; use continuous_actions=True or drop"
-            " multidiscrete_actions"
+    elif env.multidiscrete_actions:
+        # factored-categorical head: K dims x widest choice count
+        nvecs = [
+            [int(x) for x in env.get_agent_action_space(a).nvec]
+            for a in env.agents
+        ]
+        act_dim = max(len(v) for v in nvecs) * max(
+            max(v) for v in nvecs
         )
-        # categorical head over the widest agent's action count
+    else:
+        # flat categorical head over the widest agent's action count
         act_dim = max(env.get_agent_action_space(a).n for a in env.agents)
     model = ActorCritic(
         action_dim=act_dim,

@@ -63,10 +63,14 @@ class PPOUpdateSpec(NamedTuple):
 
     ``n_logits == 0`` is the continuous (Gaussian) mode: ``act_w``-wide
     actions, multiplicative per-dim action mask.  ``n_logits > 0`` is the
-    discrete (categorical) mode: ``act_w == 1`` (the action row stores
-    the chosen index as f32) and the mask rows hold the ADDITIVE
-    ``n_logits``-wide logits mask (0 on an agent's real choices, -1e9 on
-    padding) mirroring examples/jax_ppo.py's discrete head.
+    factored-categorical mode: the policy is a product of ``act_w``
+    independent categoricals of ``n_logits`` choices each (flat Discrete
+    is ``act_w == 1``; MultiDiscrete stores one index per dim).  The
+    action rows store the chosen indices as f32 and the mask rows hold
+    the ADDITIVE ``act_w * n_logits``-wide logits mask (0 on an agent's
+    real choices, -1e9 on padding; a fully-padded dim keeps choice 0
+    valid so it contributes 0 to both logp and entropy), mirroring
+    examples/jax_ppo.py's categorical head.
     """
 
     obs_d: int  # observation row count (incl. one-hot agent id)
@@ -95,7 +99,7 @@ class PPOUpdateSpec(NamedTuple):
 
     @property
     def mask_w(self) -> int:
-        return self.n_logits if self.discrete else self.act_w
+        return self.act_w * self.n_logits if self.discrete else self.act_w
 
     @property
     def d(self) -> int:  # packed row count
@@ -151,24 +155,35 @@ def _fwd_math(spec, params, obs, act, logp_old, adv_n, ret, mask):
     value = dot(Wv2, hv, c_in) + bv2  # [1, LB]
 
     if spec.discrete:
-        # ``mean`` is the [n_logits, LB] categorical head; ``mask`` the
-        # additive logits mask; ``act`` the [1, LB] chosen index (f32).
-        logits = mean + mask
-        mx = jnp.max(logits, axis=0, keepdims=True)
-        ex = jnp.exp(logits - mx)
-        z = jnp.sum(ex, axis=0, keepdims=True)
-        probs = ex / z
-        logp_all = logits - (jnp.log(z) + mx)  # log_softmax
-        idx = jax.lax.broadcasted_iota(
-            jnp.int32, logits.shape, 0
-        )
-        onehot = (idx == act.astype(jnp.int32)).astype(f32)
-        logp = jnp.sum(onehot * logp_all, axis=0, keepdims=True)
-        # Padded choices: probs == 0 exactly (exp underflows at -1e9),
-        # so 0 * finite logp_all contributes nothing to the entropy.
-        ent_i = -jnp.sum(probs * logp_all, axis=0, keepdims=True)
+        # ``mean`` is the [act_w * n_logits, LB] factored-categorical
+        # head (act_w independent distributions of n_logits choices);
+        # ``mask`` the additive logits mask; ``act`` the [act_w, LB]
+        # chosen indices (f32).  Static python loop over the (small)
+        # dim count; each dim is a full softmax over its row group.
+        nl = spec.n_logits
+        logp = jnp.zeros_like(logp_old)
+        ent_i = jnp.zeros_like(logp_old)
+        dims = []
+        for k in range(spec.act_w):
+            logits = mean[k * nl:(k + 1) * nl] + mask[k * nl:(k + 1) * nl]
+            mx = jnp.max(logits, axis=0, keepdims=True)
+            ex = jnp.exp(logits - mx)
+            z = jnp.sum(ex, axis=0, keepdims=True)
+            probs = ex / z
+            logp_all = logits - (jnp.log(z) + mx)  # log_softmax
+            idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            onehot = (
+                idx == act[k:k + 1].astype(jnp.int32)
+            ).astype(f32)
+            logp = logp + jnp.sum(onehot * logp_all, axis=0,
+                                  keepdims=True)
+            # Padded choices: probs == 0 exactly (exp underflows at
+            # -1e9), so 0 * finite logp_all adds nothing to entropy.
+            ent_k = -jnp.sum(probs * logp_all, axis=0, keepdims=True)
+            ent_i = ent_i + ent_k
+            dims.append((probs, logp_all, onehot, ent_k))
         var = diff = None
-        extra = (probs, logp_all, onehot, ent_i)
+        extra = tuple(dims)
     else:
         var = jnp.exp(2.0 * ls)  # [aw, 1]
         diff = act - mean
@@ -211,13 +226,19 @@ def _bwd_math(spec, params, obs, adv_n, ret, mask, fwd):
     dlogp = dratio * ratio  # [1, LB]
 
     if spec.discrete:
-        probs, logp_all, onehot, _ = extra
-        # pg: d logp_sel / d logits = onehot - softmax.  entropy term
-        # (loss has -ent_coef*mean(H)): dH/dlogits = -p*(logp_all + H),
-        # so the loss contributes +ent_coef/mb * p*(logp_all + H).
-        dmean = dlogp * (onehot - probs) + (
-            spec.ent_coef * inv_mb
-        ) * probs * (logp_all + ent_i)  # [n_logits, LB]
+        # Per dim k: pg has d logp_sel / d logits_k = onehot_k - p_k;
+        # the entropy term (loss has -ent_coef*mean(sum_k H_k)) has
+        # dH_k/dlogits_k = -p_k*(logp_all_k + H_k) — note the PER-DIM
+        # entropy H_k, not the total — contributing
+        # +ent_coef/mb * p_k*(logp_all_k + H_k).
+        dmean = jnp.concatenate(
+            [
+                dlogp * (onehot - probs)
+                + (spec.ent_coef * inv_mb) * probs * (logp_all + ent_k)
+                for (probs, logp_all, onehot, ent_k) in extra
+            ],
+            axis=0,
+        )  # [act_w * n_logits, LB]
         dls = jnp.zeros_like(ls)  # log_std unused by the discrete head
     else:
         dmean = dlogp * mask * diff / var  # [aw, LB]
