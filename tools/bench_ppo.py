@@ -22,9 +22,14 @@ from vectorizedmultiagentsimulator_tpu.examples.jax_ppo import (
 )
 
 
-def bench(scenario, num_envs, iters=20, cfg=PPOConfig()):
+def bench(scenario, num_envs, iters=20, cfg=PPOConfig(), mode="continuous"):
+    kw = {}
+    if mode in ("discrete", "multidiscrete"):
+        kw["continuous_actions"] = False
+    if mode == "multidiscrete":
+        kw["multidiscrete_actions"] = True
     t0 = time.time()
-    env, train_step, carry = init_training(scenario, num_envs, cfg=cfg)
+    env, train_step, carry = init_training(scenario, num_envs, cfg=cfg, **kw)
     # warmup: compile + first execution
     carry, metrics = train_step(carry)
     jax.block_until_ready(metrics["loss"])
@@ -44,6 +49,7 @@ def bench(scenario, num_envs, iters=20, cfg=PPOConfig()):
     row = {
         "bench": "ppo_training",
         "scenario": scenario,
+        "mode": mode,
         "num_envs": num_envs,
         "rollout_steps": cfg.rollout_steps,
         "iters": iters,
@@ -57,11 +63,14 @@ def bench(scenario, num_envs, iters=20, cfg=PPOConfig()):
 
 
 def main():
+    # Usage: bench_ppo.py [scenario] [num_envs] [iters] [mode]
+    # mode: continuous (default) | discrete | multidiscrete
     if len(sys.argv) > 1:
         scenario = sys.argv[1]
         num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
         iters = int(sys.argv[3]) if len(sys.argv) > 3 else 20
-        bench(scenario, num_envs, iters)
+        mode = sys.argv[4] if len(sys.argv) > 4 else "continuous"
+        bench(scenario, num_envs, iters, mode=mode)
         return
     for scenario, num_envs in [
         ("simple_spread", 4096),
