@@ -528,10 +528,6 @@ def make_train_step(env, cfg: PPOConfig, model, optimizer, mesh=None):
         _, _, last_value = model.apply(params, obs)
         adv, ret = compute_gae(traj, last_value)
 
-        # flatten (T, A, B) -> samples
-        def flat(x):
-            return x.reshape((T * A * B,) + x.shape[3:])
-
         n = T * A * B
         mb = n // cfg.minibatches
         assert n % cfg.minibatches == 0, (
