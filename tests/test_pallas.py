@@ -309,12 +309,25 @@ def test_phys_pack_sharding(pallas_interpret):
             )
             for coll in ("all-gather", "all-reduce", "collective-permute"):
                 assert txt.count(coll) == 0, f"packed sharded step: {coll}"
-        env.reset(seed=0)
-        o_sharded = env.step(list(acts))
 
         os.environ["VMT_PALLAS_STEP"] = "0"
         env_ref = vmt.make_env("transport", num_envs=B, seed=0)
         os.environ["VMT_PALLAS_STEP"] = "1"
+
+        # Step IMMEDIATELY after shard_environment, no reset in between
+        # (the jax_ppo mesh flow).  shard_state must rebuild the packed
+        # mirror shard-locally: device_put-ing the eagerly built GLOBAL
+        # pack paired each shard with other envs' columns (regression:
+        # round-4 advisor finding, obs diverged by ~3 at B=64/8dev).
+        for _ in range(2):
+            o_noreset = env.step(list(acts))
+            o_noreset_ref = env_ref.step(list(acts))
+            for a, b in zip(o_noreset[0], o_noreset_ref[0]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        env.reset(seed=0)
+        o_sharded = env.step(list(acts))
+
         env_ref.reset(seed=0)
         o_ref = env_ref.step(list(acts))
         for a, b in zip(o_sharded[0], o_ref[0]):

@@ -39,10 +39,6 @@ def shard_state(state, mesh: Mesh, batch_dim: int, axis_name: str = ENV_AXIS):
     holds the full value after the eager init reset, so the global array
     is assembled from identical per-process copies)."""
     batch_sharding = NamedSharding(mesh, P(axis_name))
-    # The packed physics mirror (WorldState.phys_pack) is [F*R, B/R]
-    # with envs riding dim 1 in contiguous blocks (pack_rows), so its
-    # env shards live on dim 1.
-    packed_sharding = NamedSharding(mesh, P(None, axis_name))
     replicated = NamedSharding(mesh, P())
     process = jax.process_index()
     mesh_is_local = all(
@@ -65,16 +61,31 @@ def shard_state(state, mesh: Mesh, batch_dim: int, axis_name: str = ENV_AXIS):
     phys_pack = getattr(state, "phys_pack", None)
     if phys_pack is not None:
         n = int(mesh.devices.size)
+        stripped = state.replace(phys_pack=None)
         if phys_pack[0].shape[1] % n != 0:
             # The mirror's packing factor R doesn't divide the
             # per-shard batch (needs (B/R) % n_devices == 0): drop it —
             # the step falls back to the native-interface kernel with a
             # per-shard R, identical semantics.
-            state = state.replace(phys_pack=None)
-            return jax.tree.map(place, state)
-        packed = tuple(place(x, packed_sharding) for x in phys_pack)
-        rest = jax.tree.map(place, state.replace(phys_pack=None))
-        return rest.replace(phys_pack=packed)
+            return jax.tree.map(place, stripped)
+        rest = jax.tree.map(place, stripped)
+        # Rebuild the mirror FROM THE SHARDED NATIVES rather than
+        # device_put-ing the eagerly built one: the eager mirror is the
+        # GLOBAL pack (column l holds env s*BT+l), while every
+        # shard-local producer/consumer (the partitioned pack/unpack
+        # ops and the fused kernel's partition rule) treats each
+        # device's columns as the pack of its own contiguous env
+        # block — for n_devices > 1 those layouts differ, and pairing
+        # them mixed env states across columns on the first post-shard
+        # steps.  Jitting pack_state over the sharded pos/vel/rot/
+        # ang_vel lowers the custom-partitioned pack op shard-locally,
+        # yielding exactly the per-shard layout the kernel consumes.
+        from vectorizedmultiagentsimulator_tpu.ops.physics_pallas import (
+            pack_state,
+        )
+
+        packed = jax.jit(pack_state)(rest.pos, rest.vel, rest.rot, rest.ang_vel)
+        return rest.replace(phys_pack=tuple(packed))
     return jax.tree.map(place, state)
 
 
