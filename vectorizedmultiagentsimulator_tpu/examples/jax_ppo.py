@@ -58,8 +58,13 @@ class PPOConfig(NamedTuple):
     # the mean/value/log-prob heads always compute in f32).  bfloat16
     # halves both the MXU time of the small-K trunk matmuls (the
     # dominant cost of the update phase on TPU) and their activation
-    # HBM traffic; rollout and update use the same dtype, so the PPO
-    # ratio compares log-probs computed under identical precision.
+    # HBM traffic.  On the XLA update path rollout and update reuse
+    # model.apply, so the PPO ratio compares log-probs computed under
+    # identical precision.  The fused Pallas kernel accumulates its
+    # dots to f32 and runs bias/tanh in f32, so at identical params its
+    # logp differs from the stored logp_old by ~bf16 eps — the epoch-0
+    # ratio is 1 + O(1e-3) rather than exactly 1 (a bounded, slightly
+    # MORE accurate forward; well inside clip_eps).
     trunk_dtype: str = "bfloat16"
     # Fused Pallas minibatch update (ops/ppo_update_pallas.py): forward,
     # loss, and hand-derived backward in one VMEM-resident kernel over a
